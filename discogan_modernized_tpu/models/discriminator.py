@@ -1,0 +1,73 @@
+"""PatchGAN-to-scalar Discriminator (ref model.py:5-69), TPU-native.
+
+Stride-2 k=4 convs with the generator-encoder trunk (BN+LeakyReLU(0.2) on
+all but the first), then a 4x4 VALID conv to 1 channel + Sigmoid giving a
+(N,1,1,1) probability. Returns `(prob, features)` where features are the
+LeakyReLU outputs of the batch-normed convs — six at 512px, exactly the
+list model.py:69 feeds the feature-matching loss.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.precision import Policy, F32
+from ..ops.conv import conv2d, conv_init
+from ..ops.batchnorm import batchnorm_init, batchnorm_apply
+from ..ops.activations import leaky_relu, sigmoid
+from .geometry import encoder_channels, KERNEL
+
+
+def discriminator_init(key, image_size: int, dtype=jnp.float32):
+    chans = encoder_channels(image_size)
+    keys = jax.random.split(key, len(chans) + 1)
+
+    layers = []
+    states = []
+    in_ch = 3
+    for i, out_ch in enumerate(chans):
+        layer = {"w": conv_init(keys[i], in_ch, out_ch, KERNEL, dtype)}
+        st = {}
+        if i > 0:
+            layer["bn"], st = batchnorm_init(out_ch, dtype)
+        layers.append(layer)
+        states.append(st)
+        in_ch = out_ch
+
+    params = {
+        "trunk": layers,
+        "head": {"w": conv_init(keys[-1], chans[-1], 1, KERNEL, dtype)},
+    }
+    state = {"trunk": states}
+    return params, state
+
+
+def discriminator_apply(params, state, x, *, policy: Policy = F32, training: bool = True):
+    """Forward pass. Returns ((prob, features), new_state).
+
+    prob: (N,1,1,1) float32 in NHWC (spatial dims kept to mirror the
+    reference's (B,1,1,1) output shape). features: list of NHWC maps.
+    """
+    cd = policy.compute_dtype
+    h = x.astype(cd)
+
+    feats = []
+    new_states = []
+    for i, layer in enumerate(params["trunk"]):
+        h = conv2d(h, layer["w"], stride=2, padding=1, policy=policy)
+        if "bn" in layer:
+            h, st = batchnorm_apply(
+                layer["bn"], state["trunk"][i], h, training=training, out_dtype=cd
+            )
+        else:
+            st = state["trunk"][i]
+            h = h.astype(cd)
+        h = leaky_relu(h, 0.2)
+        if "bn" in layer:
+            feats.append(h)
+        new_states.append(st)
+
+    logits = conv2d(h, params["head"]["w"], stride=1, padding=0, policy=policy)
+    prob = sigmoid(logits.astype(jnp.float32))
+    return (prob, feats), {"trunk": new_states}

@@ -1,0 +1,72 @@
+"""Batch normalization with torch `nn.BatchNorm2d` train/eval semantics.
+
+The reference uses cuDNN BatchNorm2d after every conv except the first and
+last (ref model.py:12-32, :84-176). Semantics reproduced exactly:
+
+- train mode normalizes with the *biased* batch variance over (N,H,W);
+- running stats update with momentum 0.1 uses the *unbiased* variance:
+  running = (1-m)*running + m*batch_stat;
+- eval mode normalizes with running stats;
+- eps = 1e-5; scale init 1, bias init 0, running_mean 0, running_var 1.
+
+Under data parallelism the stats are per-replica (computed on the local
+shard inside shard_map), matching DDP which does not sync BN
+(SURVEY.md §7 "BatchNorm under data parallelism").
+
+State is functional: `batchnorm_apply` returns (y, new_state). Statistics
+are always computed in the policy accumulation dtype (f32) regardless of
+the bf16 compute dtype, then the normalized output is cast back — the
+whole normalize+affine chain is elementwise and fuses into the surrounding
+convolution epilogue under XLA. An optional Pallas fused kernel for the
+BN-stat reduction lives in ops/pallas_fused.py.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+BN_EPS = 1e-5
+BN_MOMENTUM = 0.1
+
+
+def batchnorm_init(ch: int, dtype=jnp.float32):
+    params = {
+        "scale": jnp.ones((ch,), dtype),
+        "bias": jnp.zeros((ch,), dtype),
+    }
+    state = {
+        "mean": jnp.zeros((ch,), jnp.float32),
+        "var": jnp.ones((ch,), jnp.float32),
+        "count": jnp.zeros((), jnp.int64 if False else jnp.int32),
+    }
+    return params, state
+
+
+def batchnorm_apply(params, state, x, *, training: bool, eps: float = BN_EPS,
+                    momentum: float = BN_MOMENTUM, out_dtype=None):
+    """Apply batch norm to NHWC x. Returns (y, new_state)."""
+    x32 = x.astype(jnp.float32)
+    if training:
+        mean = jnp.mean(x32, axis=(0, 1, 2))
+        var = jnp.mean(jnp.square(x32 - mean), axis=(0, 1, 2))
+        n = x.shape[0] * x.shape[1] * x.shape[2]
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1.0 - momentum) * state["mean"] + momentum * mean,
+            "var": (1.0 - momentum) * state["var"] + momentum * unbiased,
+            "count": state["count"] + 1,
+        }
+    else:
+        mean = state["mean"]
+        var = state["var"]
+        new_state = state
+    inv = lax.rsqrt(var + eps)
+    scale = params["scale"].astype(jnp.float32) * inv
+    shift = params["bias"].astype(jnp.float32) - mean * scale
+    y = x32 * scale + shift
+    if out_dtype is not None:
+        y = y.astype(out_dtype)
+    else:
+        y = y.astype(x.dtype)
+    return y, new_state

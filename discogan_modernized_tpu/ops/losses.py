@@ -1,0 +1,62 @@
+"""Loss primitives matching the reference loss graph numerics.
+
+- `bce_loss`: torch nn.BCELoss on sigmoid probabilities with mean reduction
+  and torch's log clamp at -100 (ref image_translation.py:268, :146-168).
+- `mse_loss`: torch nn.MSELoss (ref :267, :349-350).
+- `feature_matching_loss`: per discriminator feature, the elementwise squared
+  difference of batch-mean activations fed through HingeEmbeddingLoss with
+  all-ones targets — which reduces exactly to mean(l2) — summed over
+  features (ref get_fm_loss image_translation.py:136-144). `skip_first`
+  reproduces angle_pairing.py:114-115 (feats[1:]).
+- `gan_losses`: dis = 0.5*(BCE(real,1)+BCE(fake,0)), gen = BCE(fake,1),
+  with the (B,1,1,1)->(B,1) reshape of image_translation.py:151-154 applied
+  unconditionally (the reshape-free angle_pairing.py:122-138 variant is a
+  latent shape bug in the reference — SURVEY.md appendix).
+
+All reductions run in float32 regardless of compute dtype.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_LOG_CLAMP = -100.0
+
+
+def bce_loss(probs, targets):
+    """Binary cross-entropy on probabilities, torch BCELoss semantics."""
+    p = probs.astype(jnp.float32)
+    t = targets.astype(jnp.float32)
+    log_p = jnp.maximum(jnp.log(p), _LOG_CLAMP)
+    log_1p = jnp.maximum(jnp.log1p(-p), _LOG_CLAMP)
+    return -jnp.mean(t * log_p + (1.0 - t) * log_1p)
+
+
+def mse_loss(pred, target):
+    return jnp.mean(jnp.square(pred.astype(jnp.float32) - target.astype(jnp.float32)))
+
+
+def feature_matching_loss(real_feats, fake_feats, *, skip_first: bool = False):
+    """Sum over features of mean((mean_N(real) - mean_N(fake))^2)."""
+    if skip_first:
+        real_feats = real_feats[1:]
+        fake_feats = fake_feats[1:]
+    total = jnp.float32(0.0)
+    for rf, ff in zip(real_feats, fake_feats):
+        diff = jnp.mean(rf.astype(jnp.float32), axis=0) - jnp.mean(
+            ff.astype(jnp.float32), axis=0
+        )
+        total = total + jnp.mean(jnp.square(diff))
+    return total
+
+
+def gan_losses(dis_real, dis_fake):
+    """(dis_loss, gen_loss) for one discriminator's real/fake probabilities."""
+    batch = dis_real.shape[0]
+    dis_real = dis_real.reshape(batch, -1)
+    dis_fake = dis_fake.reshape(batch, -1)
+    ones = jnp.ones_like(dis_real, dtype=jnp.float32)
+    zeros = jnp.zeros_like(dis_fake, dtype=jnp.float32)
+    dis_loss = (bce_loss(dis_real, ones) + bce_loss(dis_fake, zeros)) * 0.5
+    gen_loss = bce_loss(dis_fake, ones)
+    return dis_loss, gen_loss

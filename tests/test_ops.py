@@ -1,0 +1,96 @@
+"""Primitive-op numerics vs torch functional ops."""
+
+import numpy as np
+import torch
+import torch.nn.functional as TF
+
+import jax.numpy as jnp
+
+from discogan_modernized_tpu.ops.conv import conv2d, conv_transpose2d
+from discogan_modernized_tpu.ops.batchnorm import batchnorm_init, batchnorm_apply
+from discogan_modernized_tpu.models.geometry import encoder_channels, num_features
+
+rng = np.random.RandomState(1)
+
+
+def test_conv2d_matches_torch():
+    x = rng.rand(2, 16, 16, 5).astype(np.float32)
+    w = rng.randn(4, 4, 5, 7).astype(np.float32) * 0.1
+    ours = np.asarray(conv2d(jnp.asarray(x), jnp.asarray(w), stride=2, padding=1))
+    ref = TF.conv2d(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)),
+        torch.from_numpy(w.transpose(3, 2, 0, 1)),
+        stride=2,
+        padding=1,
+    ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_conv_transpose2d_matches_torch_s2p1():
+    x = rng.rand(2, 8, 8, 6).astype(np.float32)
+    w = rng.randn(4, 4, 6, 5).astype(np.float32) * 0.1  # HWIO, I=in of transposed op
+    ours = np.asarray(
+        conv_transpose2d(jnp.asarray(x), jnp.asarray(w), stride=2, padding=1)
+    )
+    # torch convT weight layout (I, O, kh, kw)
+    wt = torch.from_numpy(w.transpose(2, 3, 0, 1))
+    ref = TF.conv_transpose2d(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), wt, stride=2, padding=1
+    ).numpy().transpose(0, 2, 3, 1)
+    assert ours.shape == ref.shape == (2, 16, 16, 5)
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_conv_transpose2d_matches_torch_valid_latent():
+    """The 1->4 latent expansion: ConvTranspose2d(k=4, s=1, p=0)."""
+    x = rng.rand(3, 1, 1, 10).astype(np.float32)
+    w = rng.randn(4, 4, 10, 8).astype(np.float32) * 0.1
+    ours = np.asarray(
+        conv_transpose2d(jnp.asarray(x), jnp.asarray(w), stride=1, padding=0)
+    )
+    wt = torch.from_numpy(w.transpose(2, 3, 0, 1))
+    ref = TF.conv_transpose2d(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), wt, stride=1, padding=0
+    ).numpy().transpose(0, 2, 3, 1)
+    assert ours.shape == ref.shape == (3, 4, 4, 8)
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_batchnorm_train_and_eval_match_torch():
+    c = 6
+    x = rng.randn(4, 5, 5, c).astype(np.float32)
+    params, state = batchnorm_init(c)
+    params = dict(params)
+    params["scale"] = jnp.asarray(rng.rand(c).astype(np.float32) + 0.5)
+    params["bias"] = jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)
+
+    bn = torch.nn.BatchNorm2d(c)
+    with torch.no_grad():
+        bn.weight.copy_(torch.from_numpy(np.asarray(params["scale"])))
+        bn.bias.copy_(torch.from_numpy(np.asarray(params["bias"])))
+    bn.train()
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        y_ref = bn(xt).numpy().transpose(0, 2, 3, 1)
+
+    y, new_state = batchnorm_apply(params, state, jnp.asarray(x), training=True)
+    np.testing.assert_allclose(np.asarray(y), y_ref, atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(new_state["mean"]), bn.running_mean.numpy(), atol=1e-6, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_state["var"]), bn.running_var.numpy(), atol=1e-6, rtol=1e-5
+    )
+
+    bn.eval()
+    with torch.no_grad():
+        y_ref_eval = bn(xt).numpy().transpose(0, 2, 3, 1)
+    y_eval, _ = batchnorm_apply(params, new_state, jnp.asarray(x), training=False)
+    np.testing.assert_allclose(np.asarray(y_eval), y_ref_eval, atol=1e-5, rtol=1e-4)
+
+
+def test_geometry_schedule():
+    assert encoder_channels(512) == [64, 128, 256, 512, 1024, 2048, 2048]
+    assert encoder_channels(64) == [64, 128, 256, 512]
+    assert num_features(512) == 6  # model.py:69 returns six feature maps
+    assert num_features(64) == 3
