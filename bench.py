@@ -1,0 +1,135 @@
+"""Benchmark: DiscoGAN training throughput on the real TPU chip.
+
+Measures images/sec/chip for BASELINE config #1 (edges2handbags geometry:
+model_arch=discogan, image_size=64, batch 64, full cycle loss) with
+synthetic on-device data — the model/loss compute path is exactly the
+training path; host-side JPEG decode is benchmarked separately by the data
+pipeline tools.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no numbers (BASELINE.json
+"published": {}), so the comparison point is an analytic estimate of the
+PyTorch reference on one A100: per-step conv FLOPs from the actual layer
+geometry, at 312 TFLOP/s bf16 peak x 35% assumed MFU for a cuDNN convnet
+train loop. vs_baseline = measured_tpu_throughput / estimated_a100_throughput.
+The north-star target is vs_baseline >= 5.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def conv_out(size, k=4, s=2, p=1):
+    return (size + 2 * p - k) // s + 1
+
+
+def generator_flops(image_size: int) -> float:
+    """Forward FLOPs per image (2*H*W*Cout*Cin*k*k per conv)."""
+    from discogan_modernized_tpu.models.geometry import encoder_channels, LATENT_CH
+
+    chans = encoder_channels(image_size)
+    total = 0.0
+    size, cin = image_size, 3
+    for c in chans:
+        size = conv_out(size)
+        total += 2 * size * size * c * cin * 16
+        cin = c
+    total += 2 * 1 * 1 * LATENT_CH * chans[-1] * 16  # latent 4x4 VALID
+    # decoder mirrors (convT FLOPs == conv FLOPs of the mirrored layer)
+    total *= 2
+    return total
+
+
+def discriminator_flops(image_size: int) -> float:
+    from discogan_modernized_tpu.models.geometry import encoder_channels
+
+    chans = encoder_channels(image_size)
+    total = 0.0
+    size, cin = image_size, 3
+    for c in chans:
+        size = conv_out(size)
+        total += 2 * size * size * c * cin * 16
+        cin = c
+    total += 2 * 1 * 1 * 1 * chans[-1] * 16
+    return total
+
+
+def step_flops(image_size: int, update_interval: int = 3) -> float:
+    """Average per-image FLOPs of one reference train iteration.
+
+    Forward: 4 generator + 4 discriminator passes every step. Backward
+    (~2x forward of the touched nets): G-step backprop reaches all 4 nets;
+    D-step only the discriminators. Weighted by the 1/update_interval duty
+    cycle of D steps.
+    """
+    g, d = generator_flops(image_size), discriminator_flops(image_size)
+    fwd = 4 * g + 4 * d
+    bwd_gen = 2 * (4 * g + 2 * d)   # fm/gan paths traverse D once per fake
+    bwd_dis = 2 * (2 * d)
+    p_dis = 1.0 / update_interval
+    return fwd + p_dis * bwd_dis + (1 - p_dis) * bwd_gen
+
+
+A100_PEAK = 312e12
+A100_ASSUMED_MFU = 0.35
+
+
+def main():
+    import jax
+
+    # Remote/tunnel compiles can take minutes; persist them across runs.
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from discogan_modernized_tpu.train import TrainConfig, init_train_state, make_train_steps
+
+    image_size, batch = 64, 64
+    cfg = TrainConfig(image_size=image_size, model_arch="discogan")
+    ts = init_train_state(jax.random.PRNGKey(0), cfg)
+    gen_step, dis_step = make_train_steps(cfg)
+
+    rng = np.random.RandomState(0)
+    A = jnp.asarray(rng.rand(batch, image_size, image_size, 3), jnp.float32)
+    B = jnp.asarray(rng.rand(batch, image_size, image_size, 3), jnp.float32)
+
+    def run(n, it0=0):
+        losses = None
+        for i in range(it0, it0 + n):
+            step = dis_step if cfg.is_dis_iter(i) else gen_step
+            ts_local = run.ts
+            run.ts, losses = step(ts_local, A, B, jnp.float32(cfg.rate_for(i)))
+        # block_until_ready does not reliably block through remote-tunnel
+        # backends; a device-to-host fetch of values depending on the whole
+        # chain (losses + an updated param leaf) forces true completion.
+        _ = float(losses["gen_total"])
+        _ = np.asarray(
+            jax.tree.leaves(run.ts["models"]["gen_B"])[0]
+        ).ravel()[0]
+        return losses
+
+    run.ts = ts
+    run(6)  # warmup: compile both programs, settle caches
+    n_steps = 60
+    t0 = time.perf_counter()
+    run(n_steps, it0=6)
+    dt = time.perf_counter() - t0
+
+    images_per_sec = batch * n_steps / dt
+    a100_est = A100_PEAK * A100_ASSUMED_MFU / step_flops(image_size)
+    out = {
+        "metric": "train_images_per_sec_per_chip_discogan_64px_b64",
+        "value": round(images_per_sec, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec / a100_est, 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

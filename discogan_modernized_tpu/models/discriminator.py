@@ -43,7 +43,8 @@ def discriminator_init(key, image_size: int, dtype=jnp.float32):
     return params, state
 
 
-def discriminator_apply(params, state, x, *, policy: Policy = F32, training: bool = True):
+def discriminator_apply(params, state, x, *, policy: Policy = F32, training: bool = True,
+                        axis_name: str | None = None):
     """Forward pass. Returns ((prob, features), new_state).
 
     prob: (N,1,1,1) float32 in NHWC (spatial dims kept to mirror the
@@ -58,7 +59,7 @@ def discriminator_apply(params, state, x, *, policy: Policy = F32, training: boo
         h = conv2d(h, layer["w"], stride=2, padding=1, policy=policy)
         if "bn" in layer:
             h, st = batchnorm_apply(
-                layer["bn"], state["trunk"][i], h, training=training, out_dtype=cd
+                layer["bn"], state["trunk"][i], h, training=training, out_dtype=cd, axis_name=axis_name
             )
         else:
             st = state["trunk"][i]

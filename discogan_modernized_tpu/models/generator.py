@@ -82,7 +82,8 @@ def generator_init(key, image_size: int, dtype=jnp.float32):
     return params, state
 
 
-def generator_apply(params, state, x, *, policy: Policy = F32, training: bool = True):
+def generator_apply(params, state, x, *, policy: Policy = F32, training: bool = True,
+                    axis_name: str | None = None):
     """Forward pass. x: (N,H,W,3) in [0,1]. Returns (y, new_state)."""
     cd = policy.compute_dtype
     h = x.astype(cd)
@@ -92,7 +93,7 @@ def generator_apply(params, state, x, *, policy: Policy = F32, training: bool = 
         h = conv2d(h, layer["w"], stride=2, padding=1, policy=policy)
         if "bn" in layer:
             h, st = batchnorm_apply(
-                layer["bn"], state["encoder"][i], h, training=training, out_dtype=cd
+                layer["bn"], state["encoder"][i], h, training=training, out_dtype=cd, axis_name=axis_name
             )
         else:
             st = state["encoder"][i]
@@ -102,7 +103,7 @@ def generator_apply(params, state, x, *, policy: Policy = F32, training: bool = 
 
     h = conv2d(h, params["latent"]["w"], stride=1, padding=0, policy=policy)
     h, latent_state = batchnorm_apply(
-        params["latent"]["bn"], state["latent"], h, training=training, out_dtype=cd
+        params["latent"]["bn"], state["latent"], h, training=training, out_dtype=cd, axis_name=axis_name
     )
     h = leaky_relu(h, 0.2)
 
@@ -114,7 +115,7 @@ def generator_apply(params, state, x, *, policy: Policy = F32, training: bool = 
         h = conv_transpose2d(h, layer["w"], stride=stride, padding=padding, policy=policy)
         if "bn" in layer:
             h, st = batchnorm_apply(
-                layer["bn"], state["decoder"][i], h, training=training, out_dtype=cd
+                layer["bn"], state["decoder"][i], h, training=training, out_dtype=cd, axis_name=axis_name
             )
             h = relu(h)
         else:

@@ -44,14 +44,25 @@ def batchnorm_init(ch: int, dtype=jnp.float32):
 
 
 def batchnorm_apply(params, state, x, *, training: bool, eps: float = BN_EPS,
-                    momentum: float = BN_MOMENTUM, out_dtype=None):
-    """Apply batch norm to NHWC x. Returns (y, new_state)."""
+                    momentum: float = BN_MOMENTUM, out_dtype=None,
+                    axis_name: str | None = None):
+    """Apply batch norm to NHWC x. Returns (y, new_state).
+
+    axis_name: if given, batch statistics are averaged across that mesh
+    axis (cross-replica "sync BN"); the default None reproduces the
+    reference-DDP per-replica behavior.
+    """
     x32 = x.astype(jnp.float32)
     if training:
         mean = jnp.mean(x32, axis=(0, 1, 2))
-        var = jnp.mean(jnp.square(x32 - mean), axis=(0, 1, 2))
         n = x.shape[0] * x.shape[1] * x.shape[2]
-        unbiased = var * (n / max(n - 1, 1))
+        if axis_name is not None:
+            mean = lax.pmean(mean, axis_name)
+            n = n * lax.psum(1, axis_name)
+        var = jnp.mean(jnp.square(x32 - mean), axis=(0, 1, 2))
+        if axis_name is not None:
+            var = lax.pmean(var, axis_name)
+        unbiased = var * (n / jnp.maximum(n - 1, 1))
         new_state = {
             "mean": (1.0 - momentum) * state["mean"] + momentum * mean,
             "var": (1.0 - momentum) * state["var"] + momentum * unbiased,

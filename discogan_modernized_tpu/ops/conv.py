@@ -43,24 +43,32 @@ def conv_transpose_init(key, in_ch: int, out_ch: int, kernel: int = 4, dtype=jnp
     )
 
 
+def _conv_precision(x):
+    # f32 operands must not be silently downcast to bf16 passes on TPU
+    # (would blow the 1e-3 fidelity gate); bf16 operands use the MXU's
+    # native mode, which accumulates in f32 internally.
+    return lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+
+
 def conv2d(x, w, *, stride: int, padding: int, policy=None):
     """2D convolution matching torch Conv2d(k,s,p, bias=False) semantics.
 
-    x: (N,H,W,C) activations; w: (kh,kw,I,O) kernel.
+    x: (N,H,W,C) activations; w: (kh,kw,I,O) kernel. Output dtype equals
+    the (policy-cast) operand dtype so the op stays cleanly differentiable
+    under mixed precision.
     """
     if policy is not None:
         x = x.astype(policy.compute_dtype)
         w = w.astype(policy.compute_dtype)
-        accum = policy.accum_dtype
     else:
-        accum = jnp.promote_types(x.dtype, w.dtype)
+        w = w.astype(x.dtype)
     return lax.conv_general_dilated(
         x,
         w,
         window_strides=(stride, stride),
         padding=[(padding, padding), (padding, padding)],
         dimension_numbers=DIMENSION_NUMBERS,
-        preferred_element_type=accum,
+        precision=_conv_precision(x),
     )
 
 
@@ -75,9 +83,8 @@ def conv_transpose2d(x, w, *, stride: int, padding: int, policy=None):
     if policy is not None:
         x = x.astype(policy.compute_dtype)
         w = w.astype(policy.compute_dtype)
-        accum = policy.accum_dtype
     else:
-        accum = jnp.promote_types(x.dtype, w.dtype)
+        w = w.astype(x.dtype)
     k = w.shape[0]
     pad = k - 1 - padding
     w_flipped = w[::-1, ::-1, :, :]
@@ -88,5 +95,5 @@ def conv_transpose2d(x, w, *, stride: int, padding: int, policy=None):
         padding=[(pad, pad), (pad, pad)],
         lhs_dilation=(stride, stride),
         dimension_numbers=DIMENSION_NUMBERS,
-        preferred_element_type=accum,
+        precision=_conv_precision(x),
     )

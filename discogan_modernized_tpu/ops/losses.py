@@ -36,17 +36,27 @@ def mse_loss(pred, target):
     return jnp.mean(jnp.square(pred.astype(jnp.float32) - target.astype(jnp.float32)))
 
 
-def feature_matching_loss(real_feats, fake_feats, *, skip_first: bool = False):
-    """Sum over features of mean((mean_N(real) - mean_N(fake))^2)."""
+def feature_matching_loss(real_feats, fake_feats, *, skip_first: bool = False,
+                          axis_name: str | None = None):
+    """Sum over features of mean((mean_N(real) - mean_N(fake))^2).
+
+    axis_name: with cross-replica ("sync") statistics, the batch means are
+    taken over the global batch via pmean so data-parallel training is
+    step-equal to single-device training on the same global batch.
+    """
+    from jax import lax
+
     if skip_first:
         real_feats = real_feats[1:]
         fake_feats = fake_feats[1:]
     total = jnp.float32(0.0)
     for rf, ff in zip(real_feats, fake_feats):
-        diff = jnp.mean(rf.astype(jnp.float32), axis=0) - jnp.mean(
-            ff.astype(jnp.float32), axis=0
-        )
-        total = total + jnp.mean(jnp.square(diff))
+        rm = jnp.mean(rf.astype(jnp.float32), axis=0)
+        fm = jnp.mean(ff.astype(jnp.float32), axis=0)
+        if axis_name is not None:
+            rm = lax.pmean(rm, axis_name)
+            fm = lax.pmean(fm, axis_name)
+        total = total + jnp.mean(jnp.square(rm - fm))
     return total
 
 

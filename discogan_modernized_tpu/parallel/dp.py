@@ -1,0 +1,114 @@
+"""Data-parallel training over a device mesh via shard_map.
+
+Replaces the reference's DDP/NCCL layer (distributed_image_translation.py:
+26-46 setup, :401-404 DDP wrap, :203-216 DistributedSampler/DataLoader)
+with SPMD: the whole per-step body — forwards, losses, backward, gradient
+reduction, Adam — is one jitted program over the mesh's `data` axis.
+XLA lowers the gradient collective onto ICI within a slice (DCN across
+slices); there is no rendezvous, no MASTER_ADDR, no barriers — program
+boundaries are the sync points.
+
+Two BN modes (TrainConfig.bn_sync):
+- local (default, DDP-faithful): each replica computes its own batch stats,
+  so BN state carries a leading `data`-sharded replica axis; gradients are
+  pmean'd (DDP averages). Checkpoints take replica 0's stats, exactly like
+  the reference saving rank 0's state_dict.
+- sync: cross-replica stats; all state is replicated; training is
+  step-for-step equal to single-device training on the same global batch
+  (tested on the 8-device CPU mesh).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from ..core.mesh import DATA_AXIS
+from ..core.precision import Policy, default_policy
+from ..train.step import TrainConfig, _make_branch
+
+
+def _ts_specs(cfg: TrainConfig):
+    """Prefix pytree of PartitionSpecs for the train state."""
+    state_spec = P() if cfg.bn_sync else P(DATA_AXIS)
+    return {
+        "models": P(),
+        "model_states": state_spec,
+        "opt_gen": P(),
+        "opt_dis": P(),
+    }
+
+
+def replicate_train_state(ts, mesh, cfg: TrainConfig):
+    """Prepare a single-device train state for DP on `mesh`.
+
+    In local-BN mode each replica needs its own BN-state copy: stack
+    n_data copies along a new leading axis (all start identical, like
+    DDP's seed-synchronized init — ref :372).
+    """
+    n = mesh.shape[DATA_AXIS]
+    if cfg.bn_sync:
+        return ts
+    stacked = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[None], (n,) + a.shape), ts["model_states"]
+    )
+    return dict(ts, model_states=stacked)
+
+
+def unreplicate_train_state(ts, cfg: TrainConfig):
+    """Back to single-device layout; takes replica 0's BN stats (rank-0
+    checkpoint semantics, ref distributed_image_translation.py:552-568)."""
+    if cfg.bn_sync:
+        return ts
+    return dict(ts, model_states=jax.tree.map(lambda a: a[0], ts["model_states"]))
+
+
+def shard_batch(mesh):
+    """NamedSharding for a global (N, H, W, C) batch split on the data axis."""
+    from jax.sharding import NamedSharding
+
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def make_dp_train_steps(cfg: TrainConfig, mesh, policy: Policy | None = None,
+                        *, jit: bool = True):
+    """Returns (gen_step, dis_step) operating on mesh-sharded state/batches.
+
+    Signature matches the single-device steps: (ts, A, B, rate) ->
+    (new_ts, losses) where A/B are global batches (sharded or shardable on
+    the data axis) and losses are replicated global scalars.
+    """
+    cfg_sp = dataclasses.replace(cfg, axis_name=DATA_AXIS)
+    policy = policy or default_policy(cfg.precision)
+    specs = _ts_specs(cfg)
+    local_state = not cfg.bn_sync
+
+    def wrap(body):
+        def shard_body(ts, A, B, rate):
+            if local_state:
+                ts = dict(ts, model_states=jax.tree.map(
+                    lambda a: a[0], ts["model_states"]))
+            new_ts, losses = body(ts, A, B, rate)
+            if local_state:
+                new_ts = dict(new_ts, model_states=jax.tree.map(
+                    lambda a: a[None], new_ts["model_states"]))
+                losses = lax.pmean(losses, DATA_AXIS)
+            return new_ts, losses
+
+        mapped = jax.shard_map(
+            shard_body,
+            mesh=mesh,
+            in_specs=(specs, P(DATA_AXIS), P(DATA_AXIS), P()),
+            out_specs=(specs, P()),
+        )
+        if jit:
+            mapped = jax.jit(mapped, donate_argnums=(0,))
+        return mapped
+
+    gen_step = wrap(_make_branch(cfg_sp, policy, "gen"))
+    dis_step = wrap(_make_branch(cfg_sp, policy, "dis"))
+    return gen_step, dis_step

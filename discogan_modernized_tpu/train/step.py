@@ -1,0 +1,170 @@
+"""Jitted train steps: the alternating G/D update as two cached XLA programs.
+
+The reference builds both loss graphs every iteration and backwards only
+one (ref image_translation.py:384-390 — D on iters % update_interval == 0,
+G otherwise), wasting the untaken branch's backward-graph build. Here the
+choice is made host-side between two jit-compiled programs (`dis_step`,
+`gen_step`), each of which runs the full forward graph once (all eight
+logged loss components come out of either) and the backward of only its
+own loss. Nothing recompiles across the curriculum boundary because `rate`
+is a traced operand.
+
+Gradient semantics match torch: `jax.grad` over the trainable-model subset
+computes exactly the gradients torch's `.backward()` would deposit on those
+parameters (for the D step the fake images are constants wrt D params, so
+no generator backward is built at all — cheaper than the reference, which
+backprops dis_loss into the generators and discards it).
+
+Buffers are donated so parameters and optimizer moments update in place in
+HBM. Data parallelism wraps these same step bodies in shard_map
+(parallel/dp.py) with gradient pmean on the mesh axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.precision import Policy, default_policy
+from ..models.generator import generator_init, generator_apply
+from ..models.discriminator import discriminator_init
+from .graph import discogan_losses, mix_losses, trainable_subsets
+from .optim import adam_init, adam_update
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    image_size: int = 64
+    model_arch: str = "discogan"
+    learning_rate: float = 2e-4
+    beta1: float = 0.5
+    beta2: float = 0.999
+    weight_decay: float = 1e-5
+    gan_curriculum: int = 10000
+    starting_rate: float = 0.01
+    default_rate: float = 0.5
+    update_interval: int = 3
+    skip_first_fm: bool = False  # angle_pairing.py:114-115 variant
+    precision: str | None = None
+    axis_name: str | None = None  # set when wrapped in shard_map
+    # BN statistics mode under data parallelism:
+    #   False ("local", default): per-replica batch stats, exactly what the
+    #     reference's DDP does (DDP never syncs BN) — grads pmean'd like
+    #     DDP's allreduce-average.
+    #   True ("sync"): cross-replica stats and globally-reduced losses, which
+    #     makes DP training step-for-step equal to single-device training on
+    #     the same global batch — grads psum'd (each device holds the grad of
+    #     the identical global loss restricted to its local paths).
+    bn_sync: bool = False
+
+    def rate_for(self, iters: int) -> float:
+        """Curriculum rate (ref image_translation.py:367)."""
+        return self.starting_rate if iters < self.gan_curriculum else self.default_rate
+
+    def is_dis_iter(self, iters: int) -> bool:
+        """D trains on iters % update_interval == 0 (ref :385)."""
+        return iters % self.update_interval == 0
+
+
+def init_train_state(key, cfg: TrainConfig):
+    """Models + BN states + two Adam states, as one pytree."""
+    kga, kgb, kda, kdb = jax.random.split(key, 4)
+    gen_A, s_ga = generator_init(kga, cfg.image_size)
+    gen_B, s_gb = generator_init(kgb, cfg.image_size)
+    dis_A, s_da = discriminator_init(kda, cfg.image_size)
+    dis_B, s_db = discriminator_init(kdb, cfg.image_size)
+    models = {"gen_A": gen_A, "gen_B": gen_B, "dis_A": dis_A, "dis_B": dis_B}
+    states = {"gen_A": s_ga, "gen_B": s_gb, "dis_A": s_da, "dis_B": s_db}
+    gen_keys, dis_keys = trainable_subsets(cfg.model_arch)
+    return {
+        "models": models,
+        "model_states": states,
+        "opt_gen": adam_init({k: models[k] for k in gen_keys}),
+        "opt_dis": adam_init({k: models[k] for k in dis_keys}),
+    }
+
+
+def _forward(models, states, A, B, rate, cfg: TrainConfig, policy: Policy):
+    sync_axis = cfg.axis_name if cfg.bn_sync else None
+    losses, new_states = discogan_losses(
+        models, states, A, B,
+        policy=policy, skip_first_fm=cfg.skip_first_fm, axis_name=sync_axis,
+    )
+    gen_total, dis_total = mix_losses(losses, rate, cfg.model_arch)
+    losses = dict(losses, gen_total=gen_total, dis_total=dis_total)
+    return losses, new_states
+
+
+def _make_branch(cfg: TrainConfig, policy: Policy, which: str):
+    gen_keys, dis_keys = trainable_subsets(cfg.model_arch)
+    keys = gen_keys if which == "gen" else dis_keys
+    opt_key = "opt_gen" if which == "gen" else "opt_dis"
+    total_key = "gen_total" if which == "gen" else "dis_total"
+
+    def step(ts, A, B, rate):
+        frozen = {k: v for k, v in ts["models"].items() if k not in keys}
+
+        def loss_fn(trainable):
+            models = {**frozen, **trainable}
+            losses, new_states = _forward(models, ts["model_states"], A, B, rate, cfg, policy)
+            return losses[total_key], (losses, new_states)
+
+        trainable = {k: ts["models"][k] for k in keys}
+        (_, (losses, new_states)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(trainable)
+        if cfg.axis_name is not None:
+            reduce = lax.psum if cfg.bn_sync else lax.pmean
+            grads = reduce(grads, cfg.axis_name)
+        new_trainable, new_opt = adam_update(
+            trainable, grads, ts[opt_key],
+            lr=cfg.learning_rate, beta1=cfg.beta1, beta2=cfg.beta2,
+            weight_decay=cfg.weight_decay,
+        )
+        new_ts = {
+            "models": {**ts["models"], **new_trainable},
+            "model_states": new_states,
+            "opt_gen": new_opt if which == "gen" else ts["opt_gen"],
+            "opt_dis": new_opt if which == "dis" else ts["opt_dis"],
+        }
+        return new_ts, losses
+
+    return step
+
+
+def make_train_steps(cfg: TrainConfig, policy: Policy | None = None, *, jit: bool = True):
+    """Returns (gen_step, dis_step): (ts, A, B, rate) -> (new_ts, losses)."""
+    policy = policy or default_policy(cfg.precision)
+    gen_step = _make_branch(cfg, policy, "gen")
+    dis_step = _make_branch(cfg, policy, "dis")
+    if jit:
+        gen_step = jax.jit(gen_step, donate_argnums=(0,))
+        dis_step = jax.jit(dis_step, donate_argnums=(0,))
+    return gen_step, dis_step
+
+
+def make_sample_fn(cfg: TrainConfig, policy: Policy | None = None):
+    """Jitted A/B -> (AB, BA, ABA, BAB) forward for sample dumps.
+
+    Matches the reference's torch.no_grad() pass with models left in train
+    mode (image_translation.py:170-176): batch-stat normalization, and
+    running stats DO advance — the returned new_states must be threaded
+    back by the caller to stay faithful.
+    """
+    policy = policy or default_policy(cfg.precision)
+
+    @jax.jit
+    def sample(models, states, test_A, test_B):
+        kw = dict(policy=policy, training=True, axis_name=None)
+        AB, gb_s1 = generator_apply(models["gen_B"], states["gen_B"], test_A, **kw)
+        BA, ga_s1 = generator_apply(models["gen_A"], states["gen_A"], test_B, **kw)
+        ABA, ga_s2 = generator_apply(models["gen_A"], ga_s1, AB, **kw)
+        BAB, gb_s2 = generator_apply(models["gen_B"], gb_s1, BA, **kw)
+        new_states = dict(states, gen_A=ga_s2, gen_B=gb_s2)
+        return (AB, BA, ABA, BAB), new_states
+
+    return sample
