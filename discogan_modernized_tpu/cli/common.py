@@ -1,0 +1,155 @@
+"""One flag registry rendering each entry point's exact argparse surface.
+
+The reference duplicates ~24 near-identical flags across three trainers
+with subtly different defaults (image_translation.py:21-81,
+distributed_image_translation.py:48-126, angle_pairing.py:22-72 — epochs
+100 vs 10, starting_rate 0.01 vs 0.9, image_save_interval 1000 vs 500).
+Centralized here; per-entry-point defaults match the reference exactly.
+
+TPU-framework extensions (documented, all optional): --precision, --bn_sync,
+--seed.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def add_common_flags(parser: argparse.ArgumentParser, *, task_default: str,
+                     epochs_default: int, starting_rate_default: float,
+                     default_rate_default: float, image_save_default: int,
+                     celebA_flags: bool):
+    parser.add_argument('--device', type=str, default='tpu',
+                        help='Device to use (tpu/cpu)')
+    parser.add_argument('--task_name', type=str, default=task_default,
+                        help='Set data name (facescrub/celebA/edges2shoes/...)')
+    parser.add_argument('--results_dir', type=str, default='./results/',
+                        help='Directory to save the results')
+    parser.add_argument('--models_dir', type=str, default='./models/',
+                        help='Directory to save models')
+    parser.add_argument('--model_arch', type=str, default='discogan',
+                        help='Model architecture: gan/recongan/discogan')
+
+    parser.add_argument('--epochs', type=int, default=epochs_default,
+                        help='Number of epochs to train')
+    parser.add_argument('--batch_size', type=int, default=64,
+                        help='Batch size')
+    parser.add_argument('--learning_rate', type=float, default=0.0002,
+                        help='Learning rate for optimizer')
+    parser.add_argument('--beta1', type=float, default=0.5,
+                        help='Beta1 for Adam optimizer')
+    parser.add_argument('--beta2', type=float, default=0.999,
+                        help='Beta2 for Adam optimizer')
+    parser.add_argument('--image_size', type=int, default=64,
+                        help='Image size')
+
+    parser.add_argument('--gan_curriculum', type=int, default=10000,
+                        help='Number of steps with strong GAN loss')
+    parser.add_argument('--starting_rate', type=float, default=starting_rate_default,
+                        help='Initial lambda weight between GAN and Recon loss')
+    parser.add_argument('--default_rate', type=float, default=default_rate_default,
+                        help='Lambda weight between GAN and Recon loss after curriculum')
+
+    if celebA_flags:
+        parser.add_argument('--style_A', type=str, default=None,
+                            help='Style A for CelebA (e.g., Male, Young)')
+        parser.add_argument('--style_B', type=str, default=None,
+                            help='Style B for CelebA')
+        parser.add_argument('--constraint', type=str, default=None,
+                            help='Constraint for CelebA')
+        parser.add_argument('--constraint_type', type=str, default=None,
+                            help='Constraint type (1/-1) for CelebA')
+
+    parser.add_argument('--n_test', type=int, default=200,
+                        help='Number of test images')
+    parser.add_argument('--update_interval', type=int, default=3,
+                        help='Interval for discriminator updates')
+    parser.add_argument('--log_interval', type=int, default=50,
+                        help='Print loss interval')
+    parser.add_argument('--image_save_interval', type=int, default=image_save_default,
+                        help='Image save interval')
+    parser.add_argument('--model_save_interval', type=int, default=10000,
+                        help='Model save interval')
+
+    # TPU-framework extensions.
+    parser.add_argument('--precision', type=str, default=None,
+                        choices=['bf16', 'f32'],
+                        help='Compute precision (default: bf16 on TPU, f32 on CPU)')
+    parser.add_argument('--bn_sync', action='store_true',
+                        help='Cross-replica BatchNorm statistics under data '
+                             'parallelism (default: per-replica, DDP-faithful)')
+    parser.add_argument('--seed', type=int, default=1234,
+                        help='Init seed (the reference distributed trainer '
+                             'hardcodes torch.manual_seed(1234))')
+    return parser
+
+
+def translation_parser() -> argparse.ArgumentParser:
+    """image_translation.py flags (ref :21-81)."""
+    p = argparse.ArgumentParser(description='TPU-native implementation of DiscoGAN')
+    return add_common_flags(p, task_default='facescrub', epochs_default=100,
+                            starting_rate_default=0.01, default_rate_default=0.5,
+                            image_save_default=1000, celebA_flags=True)
+
+
+def distributed_parser() -> argparse.ArgumentParser:
+    """distributed_image_translation.py flags (ref :48-126)."""
+    p = translation_parser()
+    p.description = 'TPU-native distributed DiscoGAN training'
+    p.add_argument('--distributed', action='store_true',
+                   help='Enable data-parallel training over the device mesh')
+    p.add_argument('--local_rank', type=int, default=0,
+                   help='Kept for launcher compatibility; SPMD needs no ranks')
+    p.add_argument('--world_size', type=int, default=None,
+                   help='Number of devices (default: all visible devices)')
+    p.add_argument('--load_gen_A', type=str, default=None,
+                   help='Path to a gen_A checkpoint (.pth) to resume from')
+    p.add_argument('--load_gen_B', type=str, default=None,
+                   help='Path to a gen_B checkpoint (.pth) to resume from')
+    p.add_argument('--load_dis_A', type=str, default=None,
+                   help='Path to a dis_A checkpoint (.pth) to resume from')
+    p.add_argument('--load_dis_B', type=str, default=None,
+                   help='Path to a dis_B checkpoint (.pth) to resume from')
+    p.add_argument('--resume', type=str, default=None,
+                   help='(extension) model dir with a full train_state.npz '
+                        'checkpoint — resumes optimizer/iteration state too')
+    return p
+
+
+def angle_parser() -> argparse.ArgumentParser:
+    """angle_pairing.py flags (ref :22-72)."""
+    p = argparse.ArgumentParser(
+        description='TPU-native DiscoGAN for angle pairing')
+    return add_common_flags(p, task_default='car2car', epochs_default=10,
+                            starting_rate_default=0.9, default_rate_default=0.9,
+                            image_save_default=500, celebA_flags=False)
+
+
+def inference_parser() -> argparse.ArgumentParser:
+    """inference.py flags (ref :12-37)."""
+    p = argparse.ArgumentParser(description='TPU-native DiscoGAN inference')
+    p.add_argument('--device', type=str, default='tpu',
+                   help='Device to use (tpu/cpu)')
+    p.add_argument('--model_path', type=str, required=True,
+                   help='Path to the saved model weights')
+    p.add_argument('--input_path', type=str, required=True,
+                   help='Path to input image or directory with images')
+    p.add_argument('--output_dir', type=str, default='./inference_results',
+                   help='Directory to save the inference results')
+    p.add_argument('--image_size', type=int, default=64,
+                   help='Image size')
+    p.add_argument('--direction', type=str, default='AtoB',
+                   choices=['AtoB', 'BtoA'],
+                   help='Translation direction: AtoB or BtoA')
+    p.add_argument('--use_extra_layers', action='store_true',
+                   help='Kept for reference compatibility: the reference '
+                        'Generator\'s extra_layers branches are functionally '
+                        'identical (model.py:77-212), so this is accepted '
+                        'and ignored')
+    p.add_argument('--dataset_type', type=str, default=None,
+                   choices=['edges2handbags', 'edges2shoes', 'handbags2shoes',
+                            'celebA', None],
+                   help='Dataset type for domain-specific preprocessing')
+    p.add_argument('--domain', type=str, default=None, choices=['A', 'B', None],
+                   help='Domain for preprocessing (A: edge/sketch, B: real image)')
+    return p

@@ -1,0 +1,125 @@
+"""Inference CLI (ref inference.py).
+
+Loads gen_B_final.pth for AtoB / gen_A_final.pth for BtoA from the model
+dir (ref :127-132), translates a file or directory of jpg/png images, and
+saves a matplotlib Input/Generated[/Reconstructed] panel as
+<stem>_result.png (ref :70-112). Two reference defects fixed (SURVEY.md
+appendix): the generator is jitted once and reused across images, and the
+reverse generator is loaded once instead of per image (ref :183-186).
+Eval-mode BN (running statistics) matches the reference's .eval() calls.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from .common import inference_parser
+from ..data.preprocess import load_image
+from ..models.generator import generator_apply
+from ..train.checkpoint import load_reference_weights
+from ..core.precision import default_policy
+
+
+def save_images(input_image, generated_image, reverse_generated_image, save_path):
+    """1x3 (or 1x2) Input/Generated/Reconstructed panel (ref :70-112).
+    Images are HWC float arrays in [0,1]."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    panels = [("Input", input_image), ("Generated", generated_image)]
+    if reverse_generated_image is not None:
+        panels.append(("Reconstructed", reverse_generated_image))
+    fig, axes = plt.subplots(1, len(panels), figsize=(5 * len(panels), 5))
+    for ax, (title, img) in zip(axes, panels):
+        ax.imshow(np.clip(np.asarray(img), 0, 1))
+        ax.set_title(title)
+        ax.axis("off")
+    plt.tight_layout()
+    plt.savefig(save_path)
+    plt.close()
+
+
+def main(argv=None):
+    args = inference_parser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          str(Path.home() / ".cache" / "jax_comp"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    output_dir = Path(args.output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    model_dir = Path(args.model_path)
+    fwd_name = "gen_B" if args.direction == "AtoB" else "gen_A"
+    rev_name = "gen_A" if args.direction == "AtoB" else "gen_B"
+
+    try:
+        fwd_params, fwd_state = load_reference_weights(
+            model_dir / f"{fwd_name}_final.pth", fwd_name, args.image_size)
+        print(f"모델 로드 성공: {model_dir / (fwd_name + '_final.pth')}")
+    except Exception as e:
+        print(f"모델 로드 실패: {e}")
+        print("다음 파일이 있는지 확인하세요:")
+        for f in model_dir.glob("*.pth"):
+            print(f" - {f}")
+        return 1
+
+    rev = None
+    rev_path = model_dir / f"{rev_name}_final.pth"
+    if rev_path.exists():
+        rev = load_reference_weights(rev_path, rev_name, args.image_size)
+
+    policy = default_policy()
+
+    @jax.jit
+    def translate(params, state, x):
+        y, _ = generator_apply(params, state, x, policy=policy, training=False)
+        return y
+
+    input_path = Path(args.input_path)
+    if input_path.is_dir():
+        image_files = list(input_path.glob("*.jpg")) + list(input_path.glob("*.png"))
+    else:
+        image_files = [input_path]
+
+    p50_samples = []
+    for img_file in image_files:
+        print(f"Processing: {img_file}")
+        img = load_image(img_file, args.image_size, args.domain, args.dataset_type)
+        if img is None:
+            continue
+        import time
+
+        x = jnp.asarray(img)[None]
+        t0 = time.perf_counter()
+        generated = translate(fwd_params, fwd_state, x)
+        reconstructed = None
+        if rev is not None:
+            reconstructed = translate(rev[0], rev[1], generated)
+        _ = np.asarray(reconstructed if reconstructed is not None else generated)
+        p50_samples.append(time.perf_counter() - t0)
+
+        out = output_dir / f"{img_file.stem}_result.png"
+        save_images(img, np.asarray(generated[0]),
+                    np.asarray(reconstructed[0]) if reconstructed is not None else None,
+                    out)
+        print(f"저장 완료: {out}")
+
+    if p50_samples:
+        p50 = sorted(p50_samples)[len(p50_samples) // 2]
+        print(f"p50 per-image latency: {p50 * 1000:.2f} ms")
+    print(f"모든 이미지 처리 완료. 결과는 {output_dir}에 저장되었습니다.")
+    return 0
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,245 @@
+"""Device monitor / training job manager (ref gpu_monitor.py).
+
+The reference's entire failure-detection story (SURVEY §5): a daemon thread
+polls nvidia-smi for temperature/utilization/memory with alert thresholds,
+attributes memory to DiscoGAN processes by scraping ps for trainer scripts
+and their --task_name, appends text + cumulative JSON telemetry, and with
+--auto-restart relaunches a tracked training job that disappears (same
+command line, max 3 restarts). An interactive menu offers status / kill /
+launch / git pull.
+
+TPU adaptation: device telemetry comes from jax.local_devices() +
+device.memory_stats() where the backend exposes it (the axon tunnel does
+not), with host RAM/CPU from /proc as fallback; everything else — process
+attribution, restart supervision, telemetry files, menu — is preserved.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import threading
+import time
+from datetime import datetime
+from pathlib import Path
+
+TRAINER_SCRIPTS = (
+    "image_translation.py",
+    "distributed_image_translation.py",
+    "angle_pairing.py",
+)
+MAX_RESTARTS = 3
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="TPU/디바이스 모니터링 및 작업 관리")
+    parser.add_argument("--interval", type=int, default=10,
+                        help="모니터링 주기 (초)")
+    parser.add_argument("--log_dir", type=str, default="./monitor_logs")
+    parser.add_argument("--mem-alert", type=float, default=0.9,
+                        help="메모리 사용률 경고 임계값")
+    parser.add_argument("--auto-restart", action="store_true",
+                        help="사라진 학습 작업 자동 재시작 (최대 3회)")
+    parser.add_argument("--no-interactive", action="store_true",
+                        help="대화형 메뉴 없이 데몬으로 실행")
+    parser.add_argument("--iterations", type=int, default=None,
+                        help="(테스트용) 지정 횟수만 폴링 후 종료")
+    return parser.parse_args(argv)
+
+
+def device_stats() -> list[dict]:
+    """Per-device telemetry; memory stats when the backend exposes them."""
+    stats = []
+    try:
+        import jax
+
+        for d in jax.local_devices():
+            entry = {"id": d.id, "kind": getattr(d, "device_kind", str(d)),
+                     "platform": d.platform}
+            try:
+                m = d.memory_stats()
+            except Exception:
+                m = None
+            if m:
+                entry["bytes_in_use"] = m.get("bytes_in_use")
+                entry["bytes_limit"] = m.get("bytes_limit")
+                if m.get("bytes_limit"):
+                    entry["utilization"] = m.get("bytes_in_use", 0) / m["bytes_limit"]
+            stats.append(entry)
+    except Exception as e:  # noqa: BLE001
+        stats.append({"error": str(e)})
+    return stats
+
+
+def host_stats() -> dict:
+    """Host RAM + load from /proc (no external tools)."""
+    out = {}
+    try:
+        meminfo = {}
+        for line in Path("/proc/meminfo").read_text().splitlines():
+            k, v = line.split(":", 1)
+            meminfo[k] = int(v.strip().split()[0])
+        out["ram_total_kb"] = meminfo.get("MemTotal")
+        out["ram_available_kb"] = meminfo.get("MemAvailable")
+        if out["ram_total_kb"]:
+            out["ram_utilization"] = 1 - out["ram_available_kb"] / out["ram_total_kb"]
+        out["loadavg"] = float(Path("/proc/loadavg").read_text().split()[0])
+    except Exception as e:  # noqa: BLE001
+        out["error"] = str(e)
+    return out
+
+
+def find_training_jobs() -> list[dict]:
+    """DiscoGAN trainer processes by ps cmdline, with --task_name
+    attribution (ref gpu_monitor.py:68-117)."""
+    jobs = []
+    try:
+        out = subprocess.check_output(["ps", "-eo", "pid,args"], text=True)
+    except Exception:
+        return jobs
+    for line in out.splitlines()[1:]:
+        line = line.strip()
+        if not line or "python" not in line:
+            continue
+        pid_str, _, cmd = line.partition(" ")
+        if not any(s in cmd for s in TRAINER_SCRIPTS):
+            continue
+        task = None
+        for tok in cmd.split():
+            if tok.startswith("--task_name="):
+                task = tok.split("=", 1)[1]
+            elif tok == "--task_name":
+                idx = cmd.split().index(tok)
+                task = cmd.split()[idx + 1] if idx + 1 < len(cmd.split()) else None
+        jobs.append({"pid": int(pid_str), "cmdline": cmd, "task_name": task})
+    return jobs
+
+
+class Monitor:
+    def __init__(self, args):
+        self.args = args
+        self.log_dir = Path(args.log_dir)
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        self.text_log = self.log_dir / "monitor.log"
+        self.json_log = self.log_dir / "telemetry.json"
+        self.history: list[dict] = []
+        self.known_jobs: dict[int, dict] = {}
+        self.restart_counts: dict[str, int] = {}
+        self.stop_event = threading.Event()
+
+    def log(self, msg: str):
+        stamp = datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+        line = f"[{stamp}] {msg}"
+        print(line)
+        with open(self.text_log, "a") as f:
+            f.write(line + "\n")
+
+    def poll_once(self):
+        snap = {
+            "time": datetime.now().isoformat(),
+            "devices": device_stats(),
+            "host": host_stats(),
+            "jobs": find_training_jobs(),
+        }
+        self.history.append(snap)
+        self.json_log.write_text(json.dumps(self.history[-500:], indent=2))
+
+        for d in snap["devices"]:
+            util = d.get("utilization")
+            if util is not None and util > self.args.mem_alert:
+                self.log(f"경고: 디바이스 {d.get('id')} 메모리 사용률 {util:.0%}")
+        h = snap["host"]
+        if h.get("ram_utilization", 0) > self.args.mem_alert:
+            self.log(f"경고: 호스트 RAM 사용률 {h['ram_utilization']:.0%}")
+
+        self.check_and_restart_jobs(snap["jobs"])
+        return snap
+
+    def check_and_restart_jobs(self, jobs):
+        """Relaunch tracked jobs that disappeared (ref :212-272)."""
+        current = {j["pid"]: j for j in jobs}
+        for pid, job in list(self.known_jobs.items()):
+            if pid not in current:
+                self.log(f"작업 종료 감지: PID {pid} ({job.get('task_name')})")
+                del self.known_jobs[pid]
+                if not self.args.auto_restart:
+                    continue
+                key = job["cmdline"]
+                n = self.restart_counts.get(key, 0)
+                if n >= MAX_RESTARTS:
+                    self.log(f"재시작 한도 초과 (>{MAX_RESTARTS}): {key[:80]}")
+                    continue
+                self.restart_counts[key] = n + 1
+                self.log(f"자동 재시작 ({n + 1}/{MAX_RESTARTS}): {key[:80]}")
+                subprocess.Popen(key.split(),
+                                 stdout=subprocess.DEVNULL,
+                                 stderr=subprocess.DEVNULL)
+        for pid, job in current.items():
+            if pid not in self.known_jobs:
+                self.known_jobs[pid] = job
+                self.log(f"작업 추적 시작: PID {pid} ({job.get('task_name')})")
+
+    def run(self):
+        n = 0
+        while not self.stop_event.is_set():
+            self.poll_once()
+            n += 1
+            if self.args.iterations and n >= self.args.iterations:
+                break
+            self.stop_event.wait(self.args.interval)
+
+
+def interactive_menu(monitor: Monitor):
+    """Status / kill / launch / git pull (ref gpu_monitor.py:282-355)."""
+    while True:
+        print("\n===== DiscoGAN 모니터 =====")
+        print("1. 상태 보기")
+        print("2. 작업 종료")
+        print("3. 새 작업 시작")
+        print("4. git pull")
+        print("q. 종료")
+        choice = input("> ").strip()
+        if choice == "1":
+            snap = monitor.poll_once()
+            print(json.dumps(snap, indent=2)[:2000])
+        elif choice == "2":
+            jobs = find_training_jobs()
+            for j in jobs:
+                print(f"  PID {j['pid']}: {j['task_name']} — {j['cmdline'][:70]}")
+            pid = input("종료할 PID: ").strip()
+            if pid.isdigit():
+                os.kill(int(pid), 15)
+                print(f"PID {pid} 종료 요청됨")
+        elif choice == "3":
+            task = input("task_name: ").strip() or "edges2shoes"
+            arch = input("model_arch [discogan]: ").strip() or "discogan"
+            cmd = ["python", "image_translation.py",
+                   f"--task_name={task}", f"--model_arch={arch}"]
+            subprocess.Popen(cmd)
+            print(f"시작됨: {' '.join(cmd)}")
+        elif choice == "4":
+            subprocess.run(["git", "pull"], check=False)
+        elif choice == "q":
+            monitor.stop_event.set()
+            return
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    monitor = Monitor(args)
+    if args.no_interactive or args.iterations:
+        monitor.run()
+        return monitor
+    t = threading.Thread(target=monitor.run, daemon=True)
+    t.start()
+    try:
+        interactive_menu(monitor)
+    except (EOFError, KeyboardInterrupt):
+        monitor.stop_event.set()
+    return monitor
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Checkpointing: reference-compatible .pth layout + full native train state.
+
+The reference saves per-model raw state_dicts as
+{gen_A,gen_B,dis_A,dis_B}_{<iters>|final}.pth under
+<models_dir>/<task>[/<style_A>]/<arch>/<timestamp>/ (ref
+image_translation.py:419-432) and its inference hardcodes those names
+(inference.py:127-132). We keep that exact external layout — files written
+with torch.save so the *reference itself* can load them — while fixing its
+resume gap (weights-only, no optimizer/iteration/RNG state — SURVEY §5):
+`save_train_state` persists the complete pytree (params, BN states, both
+Adam states, iteration counter) alongside, and `load_train_state` resumes
+exactly.
+"""
+
+from __future__ import annotations
+
+import json
+import pickle
+from pathlib import Path
+
+import numpy as np
+import jax
+
+from ..models.torch_compat import (
+    generator_to_state_dict,
+    generator_from_state_dict,
+    discriminator_to_state_dict,
+    discriminator_from_state_dict,
+)
+
+MODEL_NAMES = ("gen_A", "gen_B", "dis_A", "dis_B")
+
+
+def _to_state_dict(name, params, state):
+    if name.startswith("gen"):
+        return generator_to_state_dict(params, state)
+    return discriminator_to_state_dict(params, state)
+
+
+def _from_state_dict(name, sd, image_size):
+    if name.startswith("gen"):
+        return generator_from_state_dict(sd, image_size)
+    return discriminator_from_state_dict(sd, image_size)
+
+
+def save_reference_layout(model_path, ts, tag):
+    """Write the 4 .pth files for iteration `tag` (int or "final")."""
+    model_path = Path(model_path)
+    model_path.mkdir(parents=True, exist_ok=True)
+    try:
+        import torch
+
+        def dump(sd, path):
+            torch.save({k: torch.from_numpy(np.array(v, copy=True))
+                        for k, v in sd.items()}, path)
+    except Exception:  # torch-free host: plain pickle of numpy arrays
+        def dump(sd, path):
+            with open(path, "wb") as f:
+                pickle.dump(sd, f)
+
+    for name in MODEL_NAMES:
+        sd = _to_state_dict(name, ts["models"][name], ts["model_states"][name])
+        dump(sd, model_path / f"{name}_{tag}.pth")
+
+
+def load_reference_weights(path, name, image_size):
+    """Load one reference-layout .pth into (params, state). Accepts real
+    torch checkpoints (including ones produced by the PyTorch reference)."""
+    path = Path(path)
+    try:
+        import torch
+
+        raw = torch.load(path, map_location="cpu", weights_only=True)
+        sd = {k: np.asarray(v) for k, v in raw.items()}
+    except Exception:
+        with open(path, "rb") as f:
+            sd = pickle.load(f)
+    return _from_state_dict(name, sd, image_size)
+
+
+def save_train_state(model_path, ts, iters: int, meta: dict | None = None):
+    """Full-fidelity internal checkpoint: train_state.npz + meta.json."""
+    model_path = Path(model_path)
+    model_path.mkdir(parents=True, exist_ok=True)
+    leaves, treedef = jax.tree.flatten(ts)
+    np.savez(model_path / "train_state.npz",
+             **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+    with open(model_path / "train_state_meta.json", "w") as f:
+        json.dump({"iters": iters, "n_leaves": len(leaves),
+                   **(meta or {})}, f)
+
+
+def load_train_state(model_path, ts_template):
+    """Restore a full checkpoint into the structure of `ts_template`.
+    Returns (ts, iters)."""
+    model_path = Path(model_path)
+    with np.load(model_path / "train_state.npz") as z:
+        leaves_t, treedef = jax.tree.flatten(ts_template)
+        if len(leaves_t) != len(z.files):
+            raise ValueError(
+                f"checkpoint has {len(z.files)} leaves, template has "
+                f"{len(leaves_t)} — config mismatch?"
+            )
+        leaves = [z[f"leaf_{i}"] for i in range(len(leaves_t))]
+    with open(model_path / "train_state_meta.json") as f:
+        meta = json.load(f)
+    ts = jax.tree.unflatten(treedef, leaves)
+    return ts, int(meta["iters"])

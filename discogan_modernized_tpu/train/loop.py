@@ -1,0 +1,234 @@
+"""Shared training engine behind the CLI entry points.
+
+Reproduces the reference trainer skeleton (image_translation.py:211-436,
+angle_pairing.py:181-451, distributed_image_translation.py:326-596):
+timestamped result/model dirs, test-set preprocessing, epoch loop with
+independent A/B shuffles, alternating G/D updates, the training_log.txt
+contract, periodic sample grids and .pth checkpoints — with the TPU-native
+internals: prefetched input pipeline, two cached jitted step programs,
+data parallelism over the device mesh instead of DDP, and full train-state
+checkpoints for real resume.
+"""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime
+from pathlib import Path
+
+import numpy as np
+
+from ..data.preprocess import read_images
+from ..data.resolvers import get_task_data, task_domains, ANGLE_TASKS
+from ..data.pipeline import PrefetchLoader, _is_paths
+from .step import TrainConfig, init_train_state, make_train_steps, make_sample_fn
+from .logging_ import TrainingLogger
+from .samples import save_sample_grid, save_individual_images
+from .checkpoint import (
+    save_reference_layout,
+    save_train_state,
+    load_reference_weights,
+)
+
+
+def build_paths(args, timestamp: str, angle_variant: bool):
+    """results/<task>[/<style_A>]/<arch>/<timestamp> (ref :226-235; the
+    angle trainer has no style level, ref angle_pairing.py:190-191)."""
+    result_path = Path(args.results_dir) / args.task_name
+    model_path = Path(args.models_dir) / args.task_name
+    if not angle_variant and getattr(args, "style_A", None):
+        result_path = result_path / args.style_A
+        model_path = model_path / args.style_A
+    result_path = result_path / args.model_arch / timestamp
+    model_path = model_path / args.model_arch / timestamp
+    return result_path, model_path
+
+
+def preprocess_test_set(args, test_A, test_B, angle_variant: bool):
+    """Test-tensor preparation (ref image_translation.py:241-249,
+    angle_pairing.py:196-205)."""
+    task = args.task_name
+
+    def prep(data, domain=None):
+        data = np.asarray(data)
+        if _is_paths(data):
+            return read_images(list(data), domain, args.image_size)
+        return np.asarray(data, np.float32)
+
+    if angle_variant:
+        return prep(test_A), prep(test_B)
+    dom_A, dom_B = task_domains(task)
+    return prep(test_A, dom_A), prep(test_B, dom_B)
+
+
+def config_from_args(args, angle_variant: bool) -> TrainConfig:
+    from .graph import ARCH_MODES
+
+    if args.model_arch not in ARCH_MODES:
+        raise SystemExit(
+            f"model_arch must be one of {ARCH_MODES}, got {args.model_arch!r}")
+    return TrainConfig(
+        image_size=args.image_size,
+        model_arch=args.model_arch,
+        learning_rate=args.learning_rate,
+        beta1=args.beta1,
+        beta2=args.beta2,
+        gan_curriculum=args.gan_curriculum,
+        starting_rate=args.starting_rate,
+        default_rate=args.default_rate,
+        update_interval=args.update_interval,
+        skip_first_fm=angle_variant,
+        precision=getattr(args, "precision", None),
+        bn_sync=bool(getattr(args, "bn_sync", False)),
+    )
+
+
+def run_training(args, *, angle_variant: bool = False, distributed: bool = False):
+    import jax
+    import jax.numpy as jnp
+
+    # Remote/tunnel first compiles are minutes; persist across runs.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          str(Path.home() / ".cache" / "jax_comp"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    result_path, model_path = build_paths(args, timestamp, angle_variant)
+    cfg = config_from_args(args, angle_variant)  # fail fast before data IO
+
+    data_A, data_B, test_A, test_B = get_task_data(args)
+    test_A_t, test_B_t = preprocess_test_set(args, test_A, test_B, angle_variant)
+    n_samples = min(5, len(test_A_t), len(test_B_t))
+
+    result_path.mkdir(parents=True, exist_ok=True)
+    model_path.mkdir(parents=True, exist_ok=True)
+
+    seed = int(getattr(args, "seed", 1234))  # ref DDP seeds 1234 (:372)
+    ts = init_train_state(jax.random.PRNGKey(seed), cfg)
+
+    # Full-state resume (extension): optimizer moments + iteration counter.
+    start_iters = 0
+    if getattr(args, "resume", None):
+        from .checkpoint import load_train_state
+
+        ts, start_iters = load_train_state(args.resume, ts)
+        print(f"전체 학습 상태 복원: {args.resume} (iter {start_iters})")
+
+    # Optional weights-only resume (ref distributed trainer --load_* flags).
+    for name in ("gen_A", "gen_B", "dis_A", "dis_B"):
+        load_path = getattr(args, f"load_{name}", None)
+        if load_path:
+            params, state = load_reference_weights(load_path, name, cfg.image_size)
+            ts["models"][name] = params
+            ts["model_states"][name] = state
+            print(f"모델 로드 성공: {load_path}")
+
+    mesh = None
+    if distributed:
+        from ..core.mesh import make_mesh
+        from ..parallel import make_dp_train_steps, replicate_train_state
+
+        world = getattr(args, "world_size", None) or jax.device_count()
+        mesh = make_mesh(int(world))
+        ts = replicate_train_state(ts, mesh, cfg)
+        gen_step, dis_step = make_dp_train_steps(cfg, mesh)
+        print(f"Data-parallel over {world} devices "
+              f"(mesh axes {dict(mesh.shape)}, bn_sync={cfg.bn_sync})")
+    else:
+        gen_step, dis_step = make_train_steps(cfg)
+    sample_fn = make_sample_fn(cfg)
+
+    dom_A, dom_B = (None, None) if angle_variant else task_domains(args.task_name)
+    loader = PrefetchLoader(data_A, data_B, args.batch_size, args.image_size,
+                            domain_A=dom_A, domain_B=dom_B)
+    n_batches = loader.n_batches
+    total_iterations = args.epochs * n_batches
+
+    logger = TrainingLogger(result_path / "training_log.txt", timestamp,
+                            args.task_name, args.model_arch, args.batch_size,
+                            args.learning_rate)
+    print(f"Total iterations: {total_iterations}")
+    print(f"Saving results to: {result_path}")
+    print(f"Saving models to: {model_path}")
+
+    def single_view(ts):
+        """Single-device view of the train state for samples/checkpoints."""
+        if mesh is None:
+            return ts
+        from ..parallel import unreplicate_train_state
+
+        return unreplicate_train_state(ts, cfg)
+
+    def dump_samples(iters):
+        view = single_view(ts)
+        (AB, BA, ABA, BAB), new_states = sample_fn(
+            view["models"], view["model_states"],
+            jnp.asarray(test_A_t), jnp.asarray(test_B_t))
+        if angle_variant:
+            subdir = result_path / str(iters // args.image_save_interval)
+            save_individual_images(test_A_t, test_B_t, np.asarray(AB),
+                                   np.asarray(BA), np.asarray(ABA),
+                                   np.asarray(BAB), subdir, args.n_test)
+            save_sample_grid(test_A_t[:5], test_B_t[:5], np.asarray(AB),
+                             np.asarray(BA), np.asarray(ABA), np.asarray(BAB),
+                             result_path / "sample_grids", iters,
+                             n_samples=n_samples)
+        else:
+            save_sample_grid(test_A_t, test_B_t, np.asarray(AB), np.asarray(BA),
+                             np.asarray(ABA), np.asarray(BAB),
+                             result_path / "samples", iters, n_samples=n_samples)
+        # Reference leaves models in train mode during sample dumps, so BN
+        # running stats advance (image_translation.py:170-176); thread them
+        # back in the single-device case. (The reference's DDP does this on
+        # rank 0 only, silently desyncing rank BN buffers — we skip instead.)
+        return new_states
+
+    try:
+        from tqdm import tqdm
+    except Exception:  # pragma: no cover
+        tqdm = None
+
+    iters = start_iters
+    t_start = time.time()
+    for epoch in range(args.epochs):
+        it = loader.epoch()
+        prog = tqdm(range(n_batches), desc=f"Epoch {epoch+1}/{args.epochs}") \
+            if tqdm else range(n_batches)
+        for _ in prog:
+            A, B = next(it)
+            rate = jnp.float32(cfg.rate_for(iters))
+            step = dis_step if cfg.is_dis_iter(iters) else gen_step
+            ts, losses = step(ts, A, B, rate)
+
+            if iters % args.log_interval == 0:
+                vals = {k: float(v) for k, v in losses.items()}
+                logger.log(iters, total_iterations, vals, fm=not angle_variant)
+                if tqdm:
+                    prog.set_postfix({
+                        "D_loss": f"{vals['dis_total']:.4f}",
+                        "G_loss": f"{vals['gen_total']:.4f}",
+                    })
+            if iters % args.image_save_interval == 0:
+                new_states = dump_samples(iters)
+                if mesh is None:
+                    ts = dict(ts, model_states=new_states)
+            if iters % args.model_save_interval == 0:
+                view = single_view(ts)
+                save_reference_layout(model_path, view, iters)
+                save_train_state(model_path, view, iters,
+                                 {"task": args.task_name, "arch": args.model_arch})
+            iters += 1
+
+    view = single_view(ts)
+    save_reference_layout(model_path, view, "final")
+    save_train_state(model_path, view, iters,
+                     {"task": args.task_name, "arch": args.model_arch})
+    dt = time.time() - t_start
+    if dt > 0 and iters:
+        print(f"Throughput: {iters * args.batch_size / dt:.1f} images/sec")
+    print(f"Training completed. Final models saved to {model_path}")
+    print(f"Results and logs saved to {result_path}")
+    return result_path, model_path

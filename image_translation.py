@@ -1,0 +1,6 @@
+#!/usr/bin/env python
+"""Entry point: same name/flags as the reference's image_translation.py."""
+from discogan_modernized_tpu.cli.image_translation import main
+
+if __name__ == "__main__":
+    main()

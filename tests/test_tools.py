@@ -1,0 +1,138 @@
+"""Tooling tests: HP search protocol, batch probe, monitor (ref C22-C24)."""
+
+import json
+import re
+from pathlib import Path
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+
+def test_hp_sampling_spaces():
+    from discogan_modernized_tpu.tools.hyperparameter_search import (
+        sample_hyperparameters,
+        generate_hyperparameters,
+        PARAM_RANGES_RANDOM,
+    )
+
+    samples = sample_hyperparameters(10)
+    assert len(samples) == 10
+    for s in samples:
+        assert set(s) == set(PARAM_RANGES_RANDOM)
+        for k, v in s.items():
+            assert v in PARAM_RANGES_RANDOM[k]
+    grid = generate_hyperparameters()
+    assert len(grid) == 4 * 3 * 3 * 4 * 4 * 4 * 4
+
+
+def test_hp_extract_metrics_parses_log_contract(tmp_path):
+    from discogan_modernized_tpu.tools.hyperparameter_search import extract_metrics
+
+    log = tmp_path / "train.log"
+    log.write_text(
+        "Training started at x\n"
+        "Iter [0/100] GEN: 0.6716/0.5718, FM: 0.3292/0.3587, "
+        "RECON: 0.1222/0.1181, DIS: 0.7311/0.7452\n"
+        "Iter [50/100] GEN: 0.5000/0.4000, FM: 0.2000/0.2100, "
+        "RECON: 0.0800/0.0900, DIS: 0.6000/0.6100\n"
+    )
+    m = extract_metrics(log)
+    assert m["final_gen_loss_A"] == 0.5
+    assert m["final_recon_loss_B"] == 0.09
+    assert abs(m["avg_recon_loss"] - 0.085) < 1e-9
+
+
+def test_hp_early_stop_logic(tmp_path):
+    from discogan_modernized_tpu.tools.hyperparameter_search import check_early_stop
+
+    log = tmp_path / "t.log"
+    state = {}
+    log.write_text("RECON: 0.5000/0.5000\n")
+    assert not check_early_stop(log, state, patience=2)
+    log.write_text("RECON: 0.5000/0.5000\nRECON: 0.6000/0.6000\n")
+    assert not check_early_stop(log, state, patience=2)
+    log.write_text("RECON: 0.5000/0.5000\nRECON: 0.6000/0.6000\nRECON: 0.7000/0.7000\n")
+    assert check_early_stop(log, state, patience=2)
+
+
+def test_hp_analyze_results(tmp_path):
+    from discogan_modernized_tpu.tools.hyperparameter_search import analyze_results
+
+    base = tmp_path / "edges2shoes" / "discogan"
+    for tid, recon in ((0, 0.2), (1, 0.1)):
+        d = base / f"trial_{tid}_x"
+        d.mkdir(parents=True)
+        log = d / "train.log"
+        log.write_text(f"Iter [0/1] GEN: 0.1000/0.1000, FM: 0.1000/0.1000, "
+                       f"RECON: {recon:.4f}/{recon:.4f}, DIS: 0.1000/0.1000\n")
+        (d / "hyperparameters.json").write_text(json.dumps({"learning_rate": 2e-4}))
+        (d / "trial_info.json").write_text(json.dumps({
+            "trial_id": tid, "status": "completed", "log_file": str(log)}))
+    analysis = analyze_results(tmp_path, "edges2shoes", "discogan")
+    assert analysis["best"]["trial_id"] == 1
+    assert (base / "analysis.json").exists()
+
+
+def test_batch_probe_bisection(monkeypatch, tmp_path):
+    """Binary search honors OOM boundary + safety margin without a device."""
+    import discogan_modernized_tpu.tools.batch_size_optimization as bso
+
+    monkeypatch.setattr(
+        bso, "test_batch_size",
+        lambda bs, size, train_step=False: (bs <= 96, 0.5 if bs <= 96 else None))
+    args = bso.parse_args([
+        "--min_batch=16", "--max_batch=512", "--step=16",
+        f"--output={tmp_path}/out.json"])
+    result = bso.find_optimal_batch_size(args)
+    assert result["max_working_batch_size"] == 96
+    assert result["recommended_batch_size"] == 80  # 96*0.9 step-quantized
+
+
+def test_batch_probe_real_forward_tiny():
+    """One real probe at tiny size on CPU (the jitted forward graph path)."""
+    from discogan_modernized_tpu.tools.batch_size_optimization import test_batch_size
+
+    ok, util = test_batch_size(2, 16)
+    assert ok
+
+
+def test_monitor_poll_and_restart_tracking(tmp_path, monkeypatch):
+    from discogan_modernized_tpu.tools.monitor import Monitor, parse_args
+
+    args = parse_args([f"--log_dir={tmp_path}", "--iterations=1",
+                       "--no-interactive", "--auto-restart"])
+    mon = Monitor(args)
+    fake_jobs = [{"pid": 12345, "cmdline": "python image_translation.py "
+                  "--task_name=edges2shoes", "task_name": "edges2shoes"}]
+    monkeypatch.setattr("discogan_modernized_tpu.tools.monitor.find_training_jobs",
+                        lambda: fake_jobs)
+    mon.poll_once()
+    assert 12345 in mon.known_jobs
+
+    launched = []
+    monkeypatch.setattr("discogan_modernized_tpu.tools.monitor.find_training_jobs",
+                        lambda: [])
+    monkeypatch.setattr("subprocess.Popen",
+                        lambda cmd, **kw: launched.append(cmd) or SimpleNamespace(pid=1))
+    mon.poll_once()
+    assert launched and "--task_name=edges2shoes" in " ".join(launched[0])
+    assert (tmp_path / "monitor.log").exists()
+    assert (tmp_path / "telemetry.json").exists()
+
+
+def test_monitor_restart_cap(tmp_path, monkeypatch):
+    from discogan_modernized_tpu.tools.monitor import Monitor, parse_args, MAX_RESTARTS
+
+    args = parse_args([f"--log_dir={tmp_path}", "--no-interactive",
+                       "--auto-restart"])
+    mon = Monitor(args)
+    launched = []
+    monkeypatch.setattr("subprocess.Popen",
+                        lambda cmd, **kw: launched.append(cmd) or SimpleNamespace(pid=1))
+    job = {"pid": 1, "cmdline": "python image_translation.py --task_name=x",
+           "task_name": "x"}
+    for _ in range(MAX_RESTARTS + 2):
+        mon.check_and_restart_jobs([job])
+        mon.check_and_restart_jobs([])
+    assert len(launched) == MAX_RESTARTS
