@@ -79,7 +79,66 @@ A100_PEAK = 312e12
 A100_ASSUMED_MFU = 0.35
 
 
-def main():
+def measure_train(image_size: int, batch: int, n_steps: int = 60,
+                  warmup: int = 6) -> float:
+    """Steady-state train images/sec for one config on the current chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from discogan_modernized_tpu.train import TrainConfig, init_train_state, make_train_steps
+
+    cfg = TrainConfig(image_size=image_size, model_arch="discogan")
+    ts = init_train_state(jax.random.PRNGKey(0), cfg)
+    gen_step, dis_step = make_train_steps(cfg)
+    rng = np.random.RandomState(0)
+    A = jnp.asarray(rng.rand(batch, image_size, image_size, 3), jnp.float32)
+    B = jnp.asarray(rng.rand(batch, image_size, image_size, 3), jnp.float32)
+
+    def run(ts, n, it0=0):
+        losses = None
+        for i in range(it0, it0 + n):
+            step = dis_step if cfg.is_dis_iter(i) else gen_step
+            ts, losses = step(ts, A, B, jnp.float32(cfg.rate_for(i)))
+        # block_until_ready does not reliably block through remote-tunnel
+        # backends; D2H fetches of chain-dependent values force completion.
+        _ = float(losses["gen_total"])
+        _ = np.asarray(jax.tree.leaves(ts["models"]["gen_B"])[0]).ravel()[0]
+        return ts
+
+    ts = run(ts, warmup)
+    t0 = time.perf_counter()
+    run(ts, n_steps, it0=warmup)
+    return batch * n_steps / (time.perf_counter() - t0)
+
+
+def measure_inference_p50(image_size: int = 64, n: int = 30) -> float:
+    """p50 single-image generator latency (ms), steady state."""
+    import jax
+    import jax.numpy as jnp
+
+    from discogan_modernized_tpu.core.precision import default_policy
+    from discogan_modernized_tpu.models import generator_init, generator_apply
+
+    policy = default_policy()
+    params, state = generator_init(jax.random.PRNGKey(0), image_size)
+
+    @jax.jit
+    def translate(params, state, x):
+        y, _ = generator_apply(params, state, x, policy=policy, training=False)
+        return y
+
+    x = jnp.asarray(np.random.RandomState(0).rand(1, image_size, image_size, 3),
+                    jnp.float32)
+    _ = np.asarray(translate(params, state, x))  # compile + warm
+    samples = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        _ = np.asarray(translate(params, state, x)[0, 0, 0, 0])
+        samples.append(time.perf_counter() - t0)
+    return sorted(samples)[n // 2] * 1000
+
+
+def main(full: bool = False):
     import jax
 
     # Remote/tunnel compiles can take minutes; persist them across runs.
@@ -90,37 +149,7 @@ def main():
     from discogan_modernized_tpu.train import TrainConfig, init_train_state, make_train_steps
 
     image_size, batch = 64, 64
-    cfg = TrainConfig(image_size=image_size, model_arch="discogan")
-    ts = init_train_state(jax.random.PRNGKey(0), cfg)
-    gen_step, dis_step = make_train_steps(cfg)
-
-    rng = np.random.RandomState(0)
-    A = jnp.asarray(rng.rand(batch, image_size, image_size, 3), jnp.float32)
-    B = jnp.asarray(rng.rand(batch, image_size, image_size, 3), jnp.float32)
-
-    def run(n, it0=0):
-        losses = None
-        for i in range(it0, it0 + n):
-            step = dis_step if cfg.is_dis_iter(i) else gen_step
-            ts_local = run.ts
-            run.ts, losses = step(ts_local, A, B, jnp.float32(cfg.rate_for(i)))
-        # block_until_ready does not reliably block through remote-tunnel
-        # backends; a device-to-host fetch of values depending on the whole
-        # chain (losses + an updated param leaf) forces true completion.
-        _ = float(losses["gen_total"])
-        _ = np.asarray(
-            jax.tree.leaves(run.ts["models"]["gen_B"])[0]
-        ).ravel()[0]
-        return losses
-
-    run.ts = ts
-    run(6)  # warmup: compile both programs, settle caches
-    n_steps = 60
-    t0 = time.perf_counter()
-    run(n_steps, it0=6)
-    dt = time.perf_counter() - t0
-
-    images_per_sec = batch * n_steps / dt
+    images_per_sec = measure_train(image_size, batch)
     a100_est = A100_PEAK * A100_ASSUMED_MFU / step_flops(image_size)
     out = {
         "metric": "train_images_per_sec_per_chip_discogan_64px_b64",
@@ -128,8 +157,29 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / a100_est, 3),
     }
+
+    if full:
+        # Full matrix (BASELINE.md configs): written to a file so the
+        # primary stdout stays one JSON line.
+        from pathlib import Path
+
+        detail = {"primary": out}
+        detail["train_512px_b32"] = {
+            "value": round(measure_train(512, 32, n_steps=15, warmup=3), 1),
+            "unit": "images/sec/chip",
+            "vs_a100_est": round(
+                measure_train(512, 32, n_steps=15, warmup=0)
+                / (A100_PEAK * A100_ASSUMED_MFU / step_flops(512)), 3),
+        }
+        detail["inference_p50_64px"] = {
+            "value": round(measure_inference_p50(64), 2), "unit": "ms"}
+        Path("benchmarks").mkdir(exist_ok=True)
+        Path("benchmarks/full.json").write_text(json.dumps(detail, indent=2))
+
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(full="--full" in sys.argv)

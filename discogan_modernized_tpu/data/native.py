@@ -1,0 +1,111 @@
+"""ctypes bindings for the native preprocessing library (native/discodata.cpp).
+
+Build-on-first-use: compiles the C++ source with g++ -O3 into a cached
+shared object next to the source (rebuilt when the source changes). The
+fused `preprocess_u8` replaces the reference's PIL->numpy->cv2 chain
+(crop, invert+dilate+invert, resize, /255 — dataset.py:52-66) with one
+C++ pass.
+
+Selection order in the pipeline (data/preprocess.py): cv2 when importable
+(bit-parity with the reference), else this native path, else pure numpy.
+Set DISCOGAN_NATIVE=1 to prefer the native path explicitly.
+
+Measured on the dev host: the fused pass matches the cv2 path to ~6e-8
+but is currently ~2x slower than cv2's hand-SIMD'd morphology+resize —
+its value is the dependency-free deployment path, not speed (SIMD
+vectorization of the erode/resize loops is the known follow-up).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_SRC = Path(__file__).resolve().parent.parent / "native" / "discodata.cpp"
+_LIB = _SRC.with_suffix(".so")
+_lib = None
+_DOMAIN_CODES = {None: 0, "A": 1, "B": 2}
+
+
+def _build() -> Path:
+    if _LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
+        return _LIB
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+           str(_SRC), "-o", str(_LIB)]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+    except subprocess.CalledProcessError as e:
+        raise RuntimeError(f"native build failed: {e.stderr}") from e
+    except FileNotFoundError as e:
+        raise RuntimeError("g++ not available for native build") from e
+    return _LIB
+
+
+def load():
+    """Load (building if needed) the native library. Raises on failure."""
+    global _lib
+    if _lib is None:
+        lib = ctypes.CDLL(str(_build()))
+        f32p = ctypes.POINTER(ctypes.c_float)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.erode3x3_f32.argtypes = [f32p, f32p] + [ctypes.c_int] * 3
+        lib.dilate3x3_f32.argtypes = [f32p, f32p] + [ctypes.c_int] * 3
+        lib.resize_bilinear_f32.argtypes = [f32p, f32p] + [ctypes.c_int] * 5
+        lib.preprocess_u8.argtypes = [u8p] + [ctypes.c_int] * 5 + [f32p]
+        _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    try:
+        load()
+        return True
+    except RuntimeError:
+        return False
+
+
+def _f32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def erode3x3(img: np.ndarray) -> np.ndarray:
+    img = np.ascontiguousarray(img, np.float32)
+    out = np.empty_like(img)
+    h, w, c = img.shape
+    load().erode3x3_f32(_f32p(img), _f32p(out), h, w, c)
+    return out
+
+
+def dilate3x3(img: np.ndarray) -> np.ndarray:
+    img = np.ascontiguousarray(img, np.float32)
+    out = np.empty_like(img)
+    h, w, c = img.shape
+    load().dilate3x3_f32(_f32p(img), _f32p(out), h, w, c)
+    return out
+
+
+def resize_bilinear(img: np.ndarray, size: int) -> np.ndarray:
+    img = np.ascontiguousarray(img, np.float32)
+    ih, iw, c = img.shape
+    out = np.empty((size, size, c), np.float32)
+    load().resize_bilinear_f32(_f32p(img), _f32p(out), ih, iw, size, size, c)
+    return out
+
+
+def preprocess(image_u8: np.ndarray, domain, size: int) -> np.ndarray:
+    """Fused crop/edge/resize/normalize for one uint8 HWC image."""
+    image_u8 = np.ascontiguousarray(image_u8, np.uint8)
+    h, w, c = image_u8.shape
+    out = np.empty((size, size, c), np.float32)
+    load().preprocess_u8(
+        image_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h, w, c, _DOMAIN_CODES[domain], size, _f32p(out))
+    return out
+
+
+def prefer_native() -> bool:
+    return os.environ.get("DISCOGAN_NATIVE", "0") == "1"

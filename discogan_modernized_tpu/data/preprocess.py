@@ -79,7 +79,20 @@ def _resize(img: np.ndarray, size: int) -> np.ndarray:
 
 def preprocess_array(image: np.ndarray, domain: Optional[str], image_size: int) -> np.ndarray:
     """Domain crop/dilate + resize + normalize. HWC uint8/float in, NHWC-ready
-    float32 HWC out."""
+    float32 HWC out.
+
+    Path selection: cv2 when importable (bit-parity with the reference);
+    the fused native C++ pass (data/native.py) when DISCOGAN_NATIVE=1 or
+    cv2 is absent; pure-numpy as last resort.
+    """
+    if isinstance(image, np.ndarray) and image.dtype == np.uint8:
+        try:
+            from . import native
+
+            if native.prefer_native() or (not HAVE_CV2 and native.available()):
+                return native.preprocess(image, domain, image_size)
+        except Exception:  # pragma: no cover - fall through to python path
+            pass
     if domain == "A":
         image = image[:, :256, :]
         image = 255.0 - image

@@ -36,40 +36,53 @@ ARCH_MODES = ("discogan", "recongan", "gan")
 
 
 def discogan_losses(models, model_states, A, B, *, policy: Policy = F32,
-                    skip_first_fm: bool = False, axis_name: str | None = None):
+                    skip_first_fm: bool = False, axis_name: str | None = None,
+                    remat: bool = False):
     """Run the full forward graph.
 
     models / model_states: dicts with keys gen_A, gen_B, dis_A, dis_B.
     Returns (losses, new_model_states) where losses has the eight raw
     components the reference logs plus recon terms.
+
+    remat: rematerialize each network forward during the backward pass
+    (jax.checkpoint) instead of keeping all intermediate activations live.
+    At 512px/b32 the un-remat'd graph (8 forwards' activations + ~8GB of
+    params/Adam state) exceeds a v5e chip's 16GB HBM; remat trades ~1
+    extra forward per backward for keeping only network inputs/outputs.
     """
+    import jax
+
     kw = dict(policy=policy, training=True, axis_name=axis_name)
 
-    AB, gb_s1 = generator_apply(models["gen_B"], model_states["gen_B"], A, **kw)
-    BA, ga_s1 = generator_apply(models["gen_A"], model_states["gen_A"], B, **kw)
-    ABA, ga_s2 = generator_apply(models["gen_A"], ga_s1, AB, **kw)
-    BAB, gb_s2 = generator_apply(models["gen_B"], gb_s1, BA, **kw)
+    def g_apply(p, s, x):
+        return generator_apply(p, s, x, **kw)
+
+    def d_apply(p, s, x):
+        return discriminator_apply(p, s, x, **kw)
+
+    if remat:
+        g_apply = jax.checkpoint(g_apply)
+        d_apply = jax.checkpoint(d_apply)
+
+    AB, gb_s1 = g_apply(models["gen_B"], model_states["gen_B"], A)
+    BA, ga_s1 = g_apply(models["gen_A"], model_states["gen_A"], B)
+    ABA, ga_s2 = g_apply(models["gen_A"], ga_s1, AB)
+    BAB, gb_s2 = g_apply(models["gen_B"], gb_s1, BA)
 
     recon_A = mse_loss(ABA, A)
     recon_B = mse_loss(BAB, B)
 
-    (A_real, A_feats_real), da_s1 = discriminator_apply(
-        models["dis_A"], model_states["dis_A"], A, **kw
-    )
-    (A_fake, A_feats_fake), da_s2 = discriminator_apply(
-        models["dis_A"], da_s1, BA, **kw
-    )
+    (A_real, A_feats_real), da_s1 = d_apply(
+        models["dis_A"], model_states["dis_A"], A)
+    (A_fake, A_feats_fake), da_s2 = d_apply(models["dis_A"], da_s1, BA)
     dis_loss_A, gen_loss_A = gan_losses(A_real, A_fake)
     fm_loss_A = feature_matching_loss(
         A_feats_real, A_feats_fake, skip_first=skip_first_fm, axis_name=axis_name
     )
 
-    (B_real, B_feats_real), db_s1 = discriminator_apply(
-        models["dis_B"], model_states["dis_B"], B, **kw
-    )
-    (B_fake, B_feats_fake), db_s2 = discriminator_apply(
-        models["dis_B"], db_s1, AB, **kw
-    )
+    (B_real, B_feats_real), db_s1 = d_apply(
+        models["dis_B"], model_states["dis_B"], B)
+    (B_fake, B_feats_fake), db_s2 = d_apply(models["dis_B"], db_s1, AB)
     dis_loss_B, gen_loss_B = gan_losses(B_real, B_fake)
     fm_loss_B = feature_matching_loss(
         B_feats_real, B_feats_fake, skip_first=skip_first_fm, axis_name=axis_name

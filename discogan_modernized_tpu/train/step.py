@@ -60,6 +60,14 @@ class TrainConfig:
     #     the same global batch — grads psum'd (each device holds the grad of
     #     the identical global loss restricted to its local paths).
     bn_sync: bool = False
+    # Rematerialize network forwards in the backward pass. None = auto
+    # (on for image_size >= 256, where activations of 8 forwards plus
+    # ~8GB of params/Adam state exceed a 16GB v5e chip).
+    remat: bool | None = None
+
+    @property
+    def use_remat(self) -> bool:
+        return self.image_size >= 256 if self.remat is None else self.remat
 
     def rate_for(self, iters: int) -> float:
         """Curriculum rate (ref image_translation.py:367)."""
@@ -93,6 +101,7 @@ def _forward(models, states, A, B, rate, cfg: TrainConfig, policy: Policy):
     losses, new_states = discogan_losses(
         models, states, A, B,
         policy=policy, skip_first_fm=cfg.skip_first_fm, axis_name=sync_axis,
+        remat=cfg.use_remat,
     )
     gen_total, dis_total = mix_losses(losses, rate, cfg.model_arch)
     losses = dict(losses, gen_total=gen_total, dis_total=dis_total)

@@ -1,0 +1,39 @@
+"""Remat (jax.checkpoint) path must be numerically identical to the
+default path — it only changes what is stored vs recomputed."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from discogan_modernized_tpu.core.precision import F32
+from discogan_modernized_tpu.train import TrainConfig, init_train_state, make_train_steps
+
+
+def test_remat_step_equals_plain_step():
+    data = np.random.RandomState(0)
+    A = jnp.asarray(data.rand(4, 16, 16, 3).astype(np.float32))
+    B = jnp.asarray(data.rand(4, 16, 16, 3).astype(np.float32))
+
+    results = {}
+    for remat in (False, True):
+        cfg = TrainConfig(image_size=16, precision="f32", remat=remat)
+        ts = init_train_state(jax.random.PRNGKey(0), cfg)
+        gen_step, dis_step = make_train_steps(cfg, F32, jit=True)
+        ts, _ = dis_step(ts, A, B, jnp.float32(0.01))
+        ts, losses = gen_step(ts, A, B, jnp.float32(0.01))
+        results[remat] = (jax.tree.leaves(ts["models"]),
+                          {k: float(v) for k, v in losses.items()})
+
+    for k in results[False][1]:
+        assert abs(results[False][1][k] - results[True][1][k]) < 1e-6, k
+    for a, b in zip(results[False][0], results[True][0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
+
+
+def test_remat_auto_threshold():
+    assert not TrainConfig(image_size=64).use_remat
+    assert TrainConfig(image_size=256).use_remat
+    assert TrainConfig(image_size=512).use_remat
+    assert TrainConfig(image_size=512, remat=False).use_remat is False
