@@ -81,6 +81,15 @@ def add_common_flags(parser: argparse.ArgumentParser, *, task_default: str,
     parser.add_argument('--seed', type=int, default=1234,
                         help='Init seed (the reference distributed trainer '
                              'hardcodes torch.manual_seed(1234))')
+    parser.add_argument('--paired', action='store_true',
+                        help='Fuse A/B-side network pairs into vmapped '
+                             'grouped convolutions (numerically equivalent; '
+                             'measured ~10%% slower at 64px on v5e — '
+                             'experimental)')
+    parser.add_argument('--remat', type=str, default=None,
+                        choices=['on', 'off'],
+                        help='Activation rematerialization (default: auto, '
+                             'on for image_size >= 256)')
     return parser
 
 

@@ -4,10 +4,18 @@ from .dp import (
     unreplicate_train_state,
     shard_batch,
 )
+from .gspmd import (
+    make_gspmd_train_steps,
+    place_train_state,
+    train_state_shardings,
+)
 
 __all__ = [
     "make_dp_train_steps",
     "replicate_train_state",
     "unreplicate_train_state",
     "shard_batch",
+    "make_gspmd_train_steps",
+    "place_train_state",
+    "train_state_shardings",
 ]

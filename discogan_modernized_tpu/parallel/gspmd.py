@@ -1,0 +1,115 @@
+"""GSPMD path: DP x TP from sharding annotations, collectives by XLA.
+
+The shard_map path (parallel/dp.py) reproduces DDP semantics explicitly.
+This module is the other idiomatic TPU recipe: annotate parameter and
+batch shardings on a (data, model) mesh, jit the *unmodified* train step,
+and let XLA's SPMD partitioner insert the collectives (psum for the
+row-parallel conv contractions and gradient reductions, all-gathers where
+layouts demand). Used for channel sharding ("tensor parallelism") of the
+wide 512px conv layers — the SURVEY §2 optional TP extension — composed
+with data parallelism on the same mesh.
+
+Semantics note: under GSPMD the program is one logical computation, so
+BatchNorm statistics are *global* over the batch (equivalent to
+bn_sync=True) regardless of the data-axis size; per-replica DDP-style BN
+is only available via the shard_map path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..core.mesh import DATA_AXIS, MODEL_AXIS
+from ..core.precision import Policy, default_policy
+from ..train.step import TrainConfig, _make_branch
+
+# Conv kernels are HWIO; shard the output-channel dim when it's wide
+# enough to split. 100-channel latent convs and 3-channel heads stay
+# replicated automatically (not divisible / below threshold).
+MIN_SHARD_CHANNELS = 256
+
+
+def _kernel_spec(leaf, tp: int):
+    if (
+        hasattr(leaf, "ndim") and leaf.ndim == 4
+        and leaf.shape[-1] >= MIN_SHARD_CHANNELS
+        and leaf.shape[-1] % tp == 0
+    ):
+        return P(None, None, None, MODEL_AXIS)
+    return P()
+
+
+def train_state_shardings(ts, mesh):
+    """NamedSharding tree for a train state: wide conv kernels (and their
+    Adam moments) channel-sharded on the model axis, the rest replicated."""
+    tp = mesh.shape[MODEL_AXIS]
+
+    def to_sharding(spec):
+        return NamedSharding(mesh, spec)
+
+    def shard_params(tree):
+        return jax.tree.map(lambda l: to_sharding(_kernel_spec(l, tp)), tree)
+
+    shardings = {
+        "models": shard_params(ts["models"]),
+        "model_states": jax.tree.map(lambda l: to_sharding(P()),
+                                     ts["model_states"]),
+        "opt_gen": {
+            "m": shard_params(ts["opt_gen"]["m"]),
+            "v": shard_params(ts["opt_gen"]["v"]),
+            "step": to_sharding(P()),
+        },
+        "opt_dis": {
+            "m": shard_params(ts["opt_dis"]["m"]),
+            "v": shard_params(ts["opt_dis"]["v"]),
+            "step": to_sharding(P()),
+        },
+    }
+    return shardings
+
+
+def place_train_state(ts, mesh):
+    """Device_put the state onto the mesh with TP shardings."""
+    return jax.device_put(ts, train_state_shardings(ts, mesh))
+
+
+def make_gspmd_train_steps(cfg: TrainConfig, mesh, policy: Policy | None = None):
+    """Returns (gen_step, dis_step) jitted with sharding annotations.
+
+    Batches are split on the data axis; wide conv kernels on the model
+    axis. The step body is the plain single-device body — no axis_name,
+    no explicit collectives.
+    """
+    cfg_sp = dataclasses.replace(cfg, axis_name=None)
+    policy = policy or default_policy(cfg.precision)
+
+    def wrap(body):
+        def jit_with(ts):
+            shardings = train_state_shardings(ts, mesh)
+            batch = NamedSharding(mesh, P(DATA_AXIS))
+            scalar = NamedSharding(mesh, P())
+            return jax.jit(
+                body,
+                in_shardings=(shardings, batch, batch, scalar),
+                out_shardings=(shardings, scalar),
+                donate_argnums=(0,),
+            )
+
+        compiled = {}
+
+        def step(ts, A, B, rate):
+            # Shardings depend only on the pytree structure; cache one
+            # jitted callable per structure.
+            key = hash(jax.tree.structure(ts))
+            if key not in compiled:
+                compiled[key] = jit_with(ts)
+            return compiled[key](ts, A, B, rate)
+
+        return step
+
+    gen_step = wrap(_make_branch(cfg_sp, policy, "gen"))
+    dis_step = wrap(_make_branch(cfg_sp, policy, "dis"))
+    return gen_step, dis_step

@@ -35,6 +35,103 @@ from ..ops.losses import mse_loss, feature_matching_loss, gan_losses
 ARCH_MODES = ("discogan", "recongan", "gan")
 
 
+def _stack_pair(tree_a, tree_b):
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(lambda a, b: jnp.stack([a, b]), tree_a, tree_b)
+
+
+def _unstack_pair(tree):
+    import jax
+
+    return (jax.tree.map(lambda a: a[0], tree),
+            jax.tree.map(lambda a: a[1], tree))
+
+
+def discogan_losses_paired(models, model_states, A, B, *, policy: Policy = F32,
+                           skip_first_fm: bool = False,
+                           axis_name: str | None = None, remat: bool = False):
+    """The same loss graph with every A-side/B-side op pair fused.
+
+    The DiscoGAN graph is perfectly symmetric: each forward comes in an
+    (A-side, B-side) pair with identical shapes and different weights.
+    vmap over stacked parameter pytrees lowers each pair to one grouped
+    convolution per layer — half the kernel launches, double the work per
+    kernel (better MXU utilization at small spatial sizes) — while
+    preserving the reference numerics exactly: BN statistics reduce within
+    each vmap slice, and the pair schedule reproduces the reference call
+    order (G_B/G_A first calls, then their second calls, then the D pairs).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    kw = dict(policy=policy, training=True, axis_name=axis_name)
+
+    def g_one(p, s, x):
+        return generator_apply(p, s, x, **kw)
+
+    def d_one(p, s, x):
+        return discriminator_apply(p, s, x, **kw)
+
+    g_pair = jax.vmap(g_one)
+    d_pair = jax.vmap(d_one)
+    if remat:
+        g_pair = jax.checkpoint(g_pair)
+        d_pair = jax.checkpoint(d_pair)
+
+    gBA_params = _stack_pair(models["gen_B"], models["gen_A"])
+    dAB_params = _stack_pair(models["dis_A"], models["dis_B"])
+
+    # Stage 1: AB = G_B(A), BA = G_A(B).
+    st1 = _stack_pair(model_states["gen_B"], model_states["gen_A"])
+    out1, st1n = g_pair(gBA_params, st1, jnp.stack([A, B]))
+    AB, BA = out1[0], out1[1]
+    gb_s1, ga_s1 = _unstack_pair(st1n)
+
+    # Stage 2: ABA = G_A(AB), BAB = G_B(BA) — note the swapped pairing.
+    gAB_params = _stack_pair(models["gen_A"], models["gen_B"])
+    st2 = _stack_pair(ga_s1, gb_s1)
+    out2, st2n = g_pair(gAB_params, st2, jnp.stack([AB, BA]))
+    ABA, BAB = out2[0], out2[1]
+    ga_s2, gb_s2 = _unstack_pair(st2n)
+
+    recon_A = mse_loss(ABA, A)
+    recon_B = mse_loss(BAB, B)
+
+    # Stage 3: D_A(A), D_B(B) then D_A(BA), D_B(AB).
+    dst1 = _stack_pair(model_states["dis_A"], model_states["dis_B"])
+    (real_p, real_feats), dst1n = d_pair(dAB_params, dst1, jnp.stack([A, B]))
+    (fake_p, fake_feats), dst2n = d_pair(dAB_params, dst1n, jnp.stack([BA, AB]))
+    da_s2, db_s2 = _unstack_pair(dst2n)
+
+    dis_loss_A, gen_loss_A = gan_losses(real_p[0], fake_p[0])
+    dis_loss_B, gen_loss_B = gan_losses(real_p[1], fake_p[1])
+    fm_loss_A = feature_matching_loss(
+        [f[0] for f in real_feats], [f[0] for f in fake_feats],
+        skip_first=skip_first_fm, axis_name=axis_name)
+    fm_loss_B = feature_matching_loss(
+        [f[1] for f in real_feats], [f[1] for f in fake_feats],
+        skip_first=skip_first_fm, axis_name=axis_name)
+
+    losses = {
+        "gen_A": gen_loss_A,
+        "gen_B": gen_loss_B,
+        "fm_A": fm_loss_A,
+        "fm_B": fm_loss_B,
+        "recon_A": recon_A,
+        "recon_B": recon_B,
+        "dis_A": dis_loss_A,
+        "dis_B": dis_loss_B,
+    }
+    if axis_name is not None:
+        from jax import lax
+
+        losses = {k: lax.pmean(v, axis_name) for k, v in losses.items()}
+    new_states = {"gen_A": ga_s2, "gen_B": gb_s2, "dis_A": da_s2, "dis_B": db_s2}
+    return losses, new_states
+
+
 def discogan_losses(models, model_states, A, B, *, policy: Policy = F32,
                     skip_first_fm: bool = False, axis_name: str | None = None,
                     remat: bool = False):

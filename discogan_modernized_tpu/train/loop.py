@@ -80,6 +80,8 @@ def config_from_args(args, angle_variant: bool) -> TrainConfig:
         skip_first_fm=angle_variant,
         precision=getattr(args, "precision", None),
         bn_sync=bool(getattr(args, "bn_sync", False)),
+        paired=bool(getattr(args, "paired", False)),
+        remat={"on": True, "off": False, None: None}[getattr(args, "remat", None)],
     )
 
 

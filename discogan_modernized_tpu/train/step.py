@@ -65,6 +65,11 @@ class TrainConfig:
     # ~8GB of params/Adam state exceed a 16GB v5e chip).
     remat: bool | None = None
 
+    # Fuse each A-side/B-side forward pair into one vmapped (grouped-conv)
+    # pass — numerically equivalent, fewer/bigger kernels (graph.py
+    # discogan_losses_paired).
+    paired: bool = False
+
     @property
     def use_remat(self) -> bool:
         return self.image_size >= 256 if self.remat is None else self.remat
@@ -97,8 +102,11 @@ def init_train_state(key, cfg: TrainConfig):
 
 
 def _forward(models, states, A, B, rate, cfg: TrainConfig, policy: Policy):
+    from .graph import discogan_losses_paired
+
     sync_axis = cfg.axis_name if cfg.bn_sync else None
-    losses, new_states = discogan_losses(
+    loss_graph = discogan_losses_paired if cfg.paired else discogan_losses
+    losses, new_states = loss_graph(
         models, states, A, B,
         policy=policy, skip_first_fm=cfg.skip_first_fm, axis_name=sync_axis,
         remat=cfg.use_remat,
