@@ -86,8 +86,19 @@ def config_from_args(args, angle_variant: bool) -> TrainConfig:
 
 
 def run_training(args, *, angle_variant: bool = False, distributed: bool = False):
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # Test/CI hook: force the CPU backend in trainer subprocesses (the
+    # JAX_PLATFORMS env var alone is overridden by TPU sitecustomize hooks
+    # on some hosts).
+    if os.environ.get("DISCOGAN_FORCE_CPU") == "1":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
 
     # Remote/tunnel first compiles are minutes; persist across runs.
     try:
