@@ -164,12 +164,12 @@ def main(full: bool = False):
         from pathlib import Path
 
         detail = {"primary": out}
+        v512 = measure_train(512, 32, n_steps=15, warmup=3)
         detail["train_512px_b32"] = {
-            "value": round(measure_train(512, 32, n_steps=15, warmup=3), 1),
+            "value": round(v512, 1),
             "unit": "images/sec/chip",
             "vs_a100_est": round(
-                measure_train(512, 32, n_steps=15, warmup=0)
-                / (A100_PEAK * A100_ASSUMED_MFU / step_flops(512)), 3),
+                v512 / (A100_PEAK * A100_ASSUMED_MFU / step_flops(512)), 3),
         }
         detail["inference_p50_64px"] = {
             "value": round(measure_inference_p50(64), 2), "unit": "ms"}

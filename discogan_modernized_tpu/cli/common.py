@@ -107,6 +107,11 @@ def distributed_parser() -> argparse.ArgumentParser:
     p.description = 'TPU-native distributed DiscoGAN training'
     p.add_argument('--distributed', action='store_true',
                    help='Enable data-parallel training over the device mesh')
+    p.add_argument('--multihost', action='store_true',
+                   help='Multi-host TPU slice: calls jax.distributed.'
+                        'initialize() (TPU runtime rendezvous — no '
+                        'MASTER_ADDR/PORT), shards data per host, gates '
+                        'logging/checkpoints to process 0')
     p.add_argument('--local_rank', type=int, default=0,
                    help='Kept for launcher compatibility; SPMD needs no ranks')
     p.add_argument('--world_size', type=int, default=None,
@@ -161,4 +166,7 @@ def inference_parser() -> argparse.ArgumentParser:
                    help='Dataset type for domain-specific preprocessing')
     p.add_argument('--domain', type=str, default=None, choices=['A', 'B', None],
                    help='Domain for preprocessing (A: edge/sketch, B: real image)')
+    p.add_argument('--batch_size', type=int, default=1,
+                   help='(extension) batch directory inputs through the '
+                        'generator for throughput; 1 = reference behavior')
     return p

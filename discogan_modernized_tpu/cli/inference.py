@@ -91,28 +91,51 @@ def main(argv=None):
     else:
         image_files = [input_path]
 
-    p50_samples = []
-    for img_file in image_files:
-        print(f"Processing: {img_file}")
-        img = load_image(img_file, args.image_size, args.domain, args.dataset_type)
-        if img is None:
-            continue
-        import time
+    import time
 
-        x = jnp.asarray(img)[None]
+    batch_n = max(1, int(getattr(args, "batch_size", 1)))
+    p50_samples = []
+    pending: list[tuple] = []  # (file, image)
+
+    def flush():
+        if not pending:
+            return
+        files = [f for f, _ in pending]
+        imgs = np.stack([im for _, im in pending])
+        # Pad to the jitted batch shape so one program serves every chunk.
+        pad = batch_n - len(pending) if batch_n > 1 else 0
+        x = jnp.asarray(np.concatenate([imgs, np.zeros(
+            (pad,) + imgs.shape[1:], np.float32)]) if pad else imgs)
         t0 = time.perf_counter()
         generated = translate(fwd_params, fwd_state, x)
         reconstructed = None
         if rev is not None:
             reconstructed = translate(rev[0], rev[1], generated)
-        _ = np.asarray(reconstructed if reconstructed is not None else generated)
-        p50_samples.append(time.perf_counter() - t0)
+        gen_np = np.asarray(generated)
+        rec_np = np.asarray(reconstructed) if reconstructed is not None else None
+        dt = (time.perf_counter() - t0) / len(pending)
+        # The first flush pays jit compilation; exclude it from the latency
+        # metric so p50 reflects steady state.
+        if flush.count > 0:
+            p50_samples.extend([dt] * len(pending))
+        flush.count += 1
+        for i, (f, im) in enumerate(zip(files, imgs)):
+            out = output_dir / f"{Path(f).stem}_result.png"
+            save_images(im, gen_np[i],
+                        rec_np[i] if rec_np is not None else None, out)
+            print(f"저장 완료: {out}")
+        pending.clear()
 
-        out = output_dir / f"{img_file.stem}_result.png"
-        save_images(img, np.asarray(generated[0]),
-                    np.asarray(reconstructed[0]) if reconstructed is not None else None,
-                    out)
-        print(f"저장 완료: {out}")
+    flush.count = 0
+    for img_file in image_files:
+        print(f"Processing: {img_file}")
+        img = load_image(img_file, args.image_size, args.domain, args.dataset_type)
+        if img is None:
+            continue
+        pending.append((img_file, img))
+        if len(pending) >= batch_n:
+            flush()
+    flush()
 
     if p50_samples:
         p50 = sorted(p50_samples)[len(p50_samples) // 2]

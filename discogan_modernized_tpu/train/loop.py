@@ -108,16 +108,29 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
     except Exception:
         pass
 
+    # Multi-host slice: TPU-runtime rendezvous replaces the reference's
+    # MASTER_ADDR/PORT + NCCL init (distributed_image_translation.py:26-40).
+    if getattr(args, "multihost", False):
+        jax.distributed.initialize()
+    n_proc = jax.process_count()
+    is_main = jax.process_index() == 0
+
     timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
     result_path, model_path = build_paths(args, timestamp, angle_variant)
     cfg = config_from_args(args, angle_variant)  # fail fast before data IO
 
     data_A, data_B, test_A, test_B = get_task_data(args)
+    if n_proc > 1:
+        # Per-host dataset shard (DistributedSampler analog, ref :203-208);
+        # --batch_size is per-host, like the reference's per-rank batch.
+        data_A = np.asarray(data_A)[jax.process_index()::n_proc]
+        data_B = np.asarray(data_B)[jax.process_index()::n_proc]
     test_A_t, test_B_t = preprocess_test_set(args, test_A, test_B, angle_variant)
     n_samples = min(5, len(test_A_t), len(test_B_t))
 
-    result_path.mkdir(parents=True, exist_ok=True)
-    model_path.mkdir(parents=True, exist_ok=True)
+    if is_main:
+        result_path.mkdir(parents=True, exist_ok=True)
+        model_path.mkdir(parents=True, exist_ok=True)
 
     seed = int(getattr(args, "seed", 1234))  # ref DDP seeds 1234 (:372)
     ts = init_train_state(jax.random.PRNGKey(seed), cfg)
@@ -156,16 +169,31 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
 
     dom_A, dom_B = (None, None) if angle_variant else task_domains(args.task_name)
     loader = PrefetchLoader(data_A, data_B, args.batch_size, args.image_size,
-                            domain_A=dom_A, domain_B=dom_B)
+                            domain_A=dom_A, domain_B=dom_B,
+                            device_put=(n_proc == 1))
     n_batches = loader.n_batches
     total_iterations = args.epochs * n_batches
 
+    if n_proc > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..core.mesh import DATA_AXIS
+
+        batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+
+        def to_global(local):
+            return jax.make_array_from_process_local_data(
+                batch_sharding, np.asarray(local))
+    else:
+        def to_global(local):
+            return local
+
     logger = TrainingLogger(result_path / "training_log.txt", timestamp,
                             args.task_name, args.model_arch, args.batch_size,
-                            args.learning_rate)
-    print(f"Total iterations: {total_iterations}")
-    print(f"Saving results to: {result_path}")
-    print(f"Saving models to: {model_path}")
+                            args.learning_rate) if is_main else None
+    if is_main:
+        print(f"Total iterations: {total_iterations}")
+        print(f"Saving results to: {result_path}")
+        print(f"Saving models to: {model_path}")
 
     def single_view(ts):
         """Single-device view of the train state for samples/checkpoints."""
@@ -204,6 +232,23 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
     except Exception:  # pragma: no cover
         tqdm = None
 
+    # Preemption-safe checkpointing: TPU VMs get SIGTERM before eviction;
+    # persist the full train state so --resume continues exactly. (The
+    # reference's only failure story is gpu_monitor restarting from
+    # scratch — SURVEY §5.)
+    import signal
+
+    preempted = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        preempted["flag"] = True
+
+    old_handler = None
+    try:
+        old_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:  # not main thread
+        pass
+
     iters = start_iters
     t_start = time.time()
     for epoch in range(args.epochs):
@@ -212,36 +257,54 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
             if tqdm else range(n_batches)
         for _ in prog:
             A, B = next(it)
+            A, B = to_global(A), to_global(B)
             rate = jnp.float32(cfg.rate_for(iters))
             step = dis_step if cfg.is_dis_iter(iters) else gen_step
             ts, losses = step(ts, A, B, rate)
 
             if iters % args.log_interval == 0:
                 vals = {k: float(v) for k, v in losses.items()}
-                logger.log(iters, total_iterations, vals, fm=not angle_variant)
+                if logger is not None:
+                    logger.log(iters, total_iterations, vals,
+                               fm=not angle_variant)
                 if tqdm:
                     prog.set_postfix({
                         "D_loss": f"{vals['dis_total']:.4f}",
                         "G_loss": f"{vals['gen_total']:.4f}",
                     })
-            if iters % args.image_save_interval == 0:
+            if iters % args.image_save_interval == 0 and is_main:
                 new_states = dump_samples(iters)
                 if mesh is None:
                     ts = dict(ts, model_states=new_states)
-            if iters % args.model_save_interval == 0:
+            if iters % args.model_save_interval == 0 and is_main:
                 view = single_view(ts)
                 save_reference_layout(model_path, view, iters)
                 save_train_state(model_path, view, iters,
                                  {"task": args.task_name, "arch": args.model_arch})
             iters += 1
+            if preempted["flag"]:
+                view = single_view(ts)
+                save_train_state(model_path, view, iters,
+                                 {"task": args.task_name,
+                                  "arch": args.model_arch,
+                                  "preempted": True})
+                save_reference_layout(model_path, view, iters)
+                print(f"SIGTERM: 학습 상태 저장 후 종료 (iter {iters}) — "
+                      f"--resume {model_path} 로 재개")
+                if old_handler is not None:
+                    signal.signal(signal.SIGTERM, old_handler)
+                return result_path, model_path
 
-    view = single_view(ts)
-    save_reference_layout(model_path, view, "final")
-    save_train_state(model_path, view, iters,
-                     {"task": args.task_name, "arch": args.model_arch})
-    dt = time.time() - t_start
-    if dt > 0 and iters:
-        print(f"Throughput: {iters * args.batch_size / dt:.1f} images/sec")
-    print(f"Training completed. Final models saved to {model_path}")
-    print(f"Results and logs saved to {result_path}")
+    if is_main:
+        view = single_view(ts)
+        save_reference_layout(model_path, view, "final")
+        save_train_state(model_path, view, iters,
+                         {"task": args.task_name, "arch": args.model_arch})
+        dt = time.time() - t_start
+        if dt > 0 and iters > start_iters:
+            print(f"Throughput: "
+                  f"{(iters - start_iters) * args.batch_size / dt:.1f} "
+                  f"images/sec")
+        print(f"Training completed. Final models saved to {model_path}")
+        print(f"Results and logs saved to {result_path}")
     return result_path, model_path
