@@ -81,6 +81,11 @@ def add_common_flags(parser: argparse.ArgumentParser, *, task_default: str,
     parser.add_argument('--seed', type=int, default=1234,
                         help='Init seed (the reference distributed trainer '
                              'hardcodes torch.manual_seed(1234))')
+    parser.add_argument('--debug', action='store_true',
+                        help='Numerics debug mode: jax_debug_nans aborts on '
+                             'the first NaN/Inf with a traceback (the '
+                             'sanitizer story the reference lacks — '
+                             'SURVEY.md §5)')
     parser.add_argument('--paired', action='store_true',
                         help='Fuse A/B-side network pairs into vmapped '
                              'grouped convolutions (numerically equivalent; '

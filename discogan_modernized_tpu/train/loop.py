@@ -108,6 +108,10 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
     except Exception:
         pass
 
+    if getattr(args, "debug", False):
+        jax.config.update("jax_debug_nans", True)
+        print("디버그 모드: NaN/Inf 발생 시 즉시 중단")
+
     # Multi-host slice: TPU-runtime rendezvous replaces the reference's
     # MASTER_ADDR/PORT + NCCL init (distributed_image_translation.py:26-40).
     if getattr(args, "multihost", False):

@@ -118,3 +118,32 @@ def test_get_task_data_dispatch(fake_datasets):
     args.task_name = "car2car"
     da, db, ta, tb = get_task_data(args)
     assert da.ndim == 4 and db.ndim == 4 and ta.ndim == 4
+
+
+def test_celebA_constraint_filter(fake_datasets):
+    from discogan_modernized_tpu.data.resolvers import get_celebA_files
+
+    # constraint=Smiling, constraint_type='1' keeps only the 5 smiling rows.
+    a, b = get_celebA_files("Male", None, "Smiling", "1", test=False, n_test=1)
+    # Smiling rows are the first 5; Male alternates -> 3 male smiling, 2 not.
+    assert len(a) == 2  # 3 male-smiling minus 1 test
+    assert len(b) == 1  # 2 non-male-smiling minus 1 test
+
+
+def test_style_A_directory_layout(tmp_path):
+    """results/<task>/<style_A>/<arch>/<ts> when --style_A given
+    (ref image_translation.py:226-235)."""
+    from types import SimpleNamespace
+
+    from discogan_modernized_tpu.train.loop import build_paths
+
+    args = SimpleNamespace(results_dir=str(tmp_path / "r"),
+                           models_dir=str(tmp_path / "m"),
+                           task_name="celebA", style_A="Male",
+                           model_arch="discogan")
+    rp, mp = build_paths(args, "20260101_000000", angle_variant=False)
+    assert str(rp).endswith("r/celebA/Male/discogan/20260101_000000")
+    # Angle variant never inserts the style level (angle_pairing.py:190-191).
+    args.task_name = "car2car"
+    rp2, _ = build_paths(args, "20260101_000000", angle_variant=True)
+    assert "Male" not in str(rp2)
