@@ -76,20 +76,33 @@ def place_train_state(ts, mesh):
     return jax.device_put(ts, train_state_shardings(ts, mesh))
 
 
-def make_gspmd_train_steps(cfg: TrainConfig, mesh, policy: Policy | None = None):
+def make_gspmd_train_steps(cfg: TrainConfig, mesh, policy: Policy | None = None,
+                           *, spatial: bool = False):
     """Returns (gen_step, dis_step) jitted with sharding annotations.
 
-    Batches are split on the data axis; wide conv kernels on the model
-    axis. The step body is the plain single-device body — no axis_name,
-    no explicit collectives.
+    Default: batches split on the data axis, wide conv kernels on the
+    model axis (tensor parallelism). spatial=True instead shards the
+    image HEIGHT dimension over the model axis — the convolutional analog
+    of sequence parallelism: XLA inserts the halo exchanges the stride-2
+    4x4 convs need at shard boundaries, and activation memory scales down
+    with the mesh (relevant for 512px where activations, not params,
+    dominate). Params stay replicated in spatial mode.
+
+    The step body is the plain single-device body — no axis_name, no
+    explicit collectives.
     """
     cfg_sp = dataclasses.replace(cfg, axis_name=None)
     policy = policy or default_policy(cfg.precision)
 
     def wrap(body):
         def jit_with(ts):
-            shardings = train_state_shardings(ts, mesh)
-            batch = NamedSharding(mesh, P(DATA_AXIS))
+            if spatial:
+                shardings = jax.tree.map(
+                    lambda _: NamedSharding(mesh, P()), ts)
+                batch = NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS))
+            else:
+                shardings = train_state_shardings(ts, mesh)
+                batch = NamedSharding(mesh, P(DATA_AXIS))
             scalar = NamedSharding(mesh, P())
             return jax.jit(
                 body,

@@ -92,3 +92,31 @@ def test_gspmd_dp_tp_matches_single_device(mesh):
     ])
     assert float(diffs.mean()) < 2e-5
     assert float(diffs.max()) < 2e-3
+
+
+def test_spatial_partitioning_matches_single_device(mesh):
+    """Height-sharded ("sequence parallel" analog) training step equals
+    single-device; XLA inserts conv halo exchanges at shard boundaries."""
+    cfg = TrainConfig(image_size=32, precision="f32")
+    rng = np.random.RandomState(3)
+    A = rng.rand(4, 32, 32, 3).astype(np.float32)
+    B = rng.rand(4, 32, 32, 3).astype(np.float32)
+
+    ts1 = init_train_state(jax.random.PRNGKey(0), cfg)
+    gen1, dis1 = make_train_steps(cfg, F32)
+    ts1, l1 = dis1(ts1, jnp.asarray(A), jnp.asarray(B), jnp.float32(0.01))
+    ts1, l1 = gen1(ts1, jnp.asarray(A), jnp.asarray(B), jnp.float32(0.01))
+
+    tss = init_train_state(jax.random.PRNGKey(0), cfg)
+    gens, diss = make_gspmd_train_steps(cfg, mesh, F32, spatial=True)
+    tss, ls = diss(tss, jnp.asarray(A), jnp.asarray(B), jnp.float32(0.01))
+    tss, ls = gens(tss, jnp.asarray(A), jnp.asarray(B), jnp.float32(0.01))
+
+    for k in l1:
+        assert abs(float(l1[k]) - float(ls[k])) < 1e-4, k
+    diffs = np.concatenate([
+        np.abs(np.asarray(a) - np.asarray(jax.device_get(b))).ravel()
+        for a, b in zip(jax.tree.leaves(ts1["models"]),
+                        jax.tree.leaves(tss["models"]))
+    ])
+    assert float(diffs.max()) < 5e-4
