@@ -12,12 +12,12 @@ reshaping variant is used everywhere (SURVEY.md appendix).
 
 from __future__ import annotations
 
-from .common import angle_parser
+from .common import parse_with_config, angle_parser
 from ..train.loop import run_training
 
 
 def main(argv=None):
-    args = angle_parser().parse_args(argv)
+    args = parse_with_config(angle_parser(), argv)
     return run_training(args, angle_variant=True, distributed=False)
 
 

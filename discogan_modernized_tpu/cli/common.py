@@ -15,6 +15,32 @@ from __future__ import annotations
 import argparse
 
 
+def parse_with_config(parser: argparse.ArgumentParser, argv=None):
+    """Parse args with optional --config YAML defaults (CLI flags win).
+
+    The reference declares pyyaml as a dependency but never imports it
+    (requirements.txt:15, SURVEY §5 "No config files"); this completes
+    that intent: a YAML mapping of flag names to values becomes the
+    defaults for any flags not given on the command line.
+    """
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--config", type=str, default=None)
+    known, _ = pre.parse_known_args(argv)
+    parser.add_argument("--config", type=str, default=None,
+                        help="YAML file of flag defaults (CLI flags override)")
+    if known.config:
+        import yaml
+
+        with open(known.config) as f:
+            conf = yaml.safe_load(f) or {}
+        valid = {a.dest for a in parser._actions}
+        unknown = set(conf) - valid
+        if unknown:
+            raise SystemExit(f"unknown config keys: {sorted(unknown)}")
+        parser.set_defaults(**conf)
+    return parser.parse_args(argv)
+
+
 def add_common_flags(parser: argparse.ArgumentParser, *, task_default: str,
                      epochs_default: int, starting_rate_default: float,
                      default_rate_default: float, image_save_default: int,

@@ -14,12 +14,12 @@ from __future__ import annotations
 
 import os
 
-from .common import distributed_parser
+from .common import parse_with_config, distributed_parser
 from ..train.loop import run_training
 
 
 def main(argv=None):
-    args = distributed_parser().parse_args(argv)
+    args = parse_with_config(distributed_parser(), argv)
     if "LOCAL_RANK" in os.environ:
         args.local_rank = int(os.environ["LOCAL_RANK"])
         args.distributed = True

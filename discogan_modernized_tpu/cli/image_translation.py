@@ -2,12 +2,12 @@
 
 from __future__ import annotations
 
-from .common import translation_parser
+from .common import parse_with_config, translation_parser
 from ..train.loop import run_training
 
 
 def main(argv=None):
-    args = translation_parser().parse_args(argv)
+    args = parse_with_config(translation_parser(), argv)
     return run_training(args, angle_variant=False, distributed=False)
 
 

@@ -15,7 +15,7 @@ from pathlib import Path
 
 import numpy as np
 
-from .common import inference_parser
+from .common import parse_with_config, inference_parser
 from ..data.preprocess import load_image
 from ..models.generator import generator_apply
 from ..train.checkpoint import load_reference_weights
@@ -44,7 +44,7 @@ def save_images(input_image, generated_image, reverse_generated_image, save_path
 
 
 def main(argv=None):
-    args = inference_parser().parse_args(argv)
+    args = parse_with_config(inference_parser(), argv)
     import jax
     import jax.numpy as jnp
 

@@ -139,3 +139,36 @@ def test_full_state_resume(tmp_path):
     # 256 synthetic samples / batch 8 = 32 steps/epoch; resumed run starts
     # at iter 32.
     assert "Iter [40/" in log or "Iter [32/" in log, log
+
+
+def test_yaml_config_defaults(tmp_path):
+    """--config YAML sets flag defaults; explicit CLI flags override."""
+    import yaml
+
+    conf = tmp_path / "run.yaml"
+    conf.write_text(yaml.safe_dump({
+        "task_name": "synthetic", "model_arch": "gan", "image_size": 16,
+        "batch_size": 8, "epochs": 1, "log_interval": 16,
+        "image_save_interval": 1000000, "model_save_interval": 1000000,
+        "precision": "f32",
+        "results_dir": str(tmp_path / "r"), "models_dir": str(tmp_path / "m"),
+    }))
+    from discogan_modernized_tpu.cli.image_translation import main
+
+    # CLI override: log_interval 8 beats the YAML's 16.
+    result_path, _ = main([f"--config={conf}", "--log_interval=8"])
+    log = (result_path / "training_log.txt").read_text()
+    assert "Task: synthetic, Model: gan" in log
+    assert "Iter [8/" in log  # proves the CLI override took effect
+
+
+def test_yaml_config_rejects_unknown_keys(tmp_path):
+    import pytest as _pytest
+    import yaml
+
+    conf = tmp_path / "bad.yaml"
+    conf.write_text(yaml.safe_dump({"task_name": "synthetic", "typo_key": 1}))
+    from discogan_modernized_tpu.cli.image_translation import main
+
+    with _pytest.raises(SystemExit):
+        main([f"--config={conf}"])
