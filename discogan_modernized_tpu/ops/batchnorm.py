@@ -38,7 +38,7 @@ def batchnorm_init(ch: int, dtype=jnp.float32):
     state = {
         "mean": jnp.zeros((ch,), jnp.float32),
         "var": jnp.ones((ch,), jnp.float32),
-        "count": jnp.zeros((), jnp.int64 if False else jnp.int32),
+        "count": jnp.zeros((), jnp.int32),
     }
     return params, state
 

@@ -21,7 +21,6 @@ import json
 import os
 import subprocess
 import threading
-import time
 from datetime import datetime
 from pathlib import Path
 

@@ -102,6 +102,14 @@ def load_train_state(model_path, ts_template):
                 f"{len(leaves_t)} — config mismatch?"
             )
         leaves = [z[f"leaf_{i}"] for i in range(len(leaves_t))]
+        for i, (a, b) in enumerate(zip(leaves, leaves_t)):
+            if tuple(a.shape) != tuple(np.shape(b)):
+                raise ValueError(
+                    f"checkpoint leaf {i} has shape {tuple(a.shape)}, current "
+                    f"config expects {tuple(np.shape(b))} — was this "
+                    f"checkpoint written with a different --image_size or "
+                    f"--model_arch?"
+                )
     with open(model_path / "train_state_meta.json") as f:
         meta = json.load(f)
     ts = jax.tree.unflatten(treedef, leaves)

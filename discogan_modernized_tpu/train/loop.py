@@ -19,7 +19,7 @@ from pathlib import Path
 import numpy as np
 
 from ..data.preprocess import read_images
-from ..data.resolvers import get_task_data, task_domains, ANGLE_TASKS
+from ..data.resolvers import get_task_data, task_domains
 from ..data.pipeline import PrefetchLoader, _is_paths
 from .step import TrainConfig, init_train_state, make_train_steps, make_sample_fn
 from .logging_ import TrainingLogger

@@ -23,10 +23,8 @@ HBM. Data parallelism wraps these same step bodies in shard_map
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
-import jax.numpy as jnp
 from jax import lax
 
 from ..core.precision import Policy, default_policy
