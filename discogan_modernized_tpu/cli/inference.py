@@ -48,6 +48,11 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    if args.device == "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     try:
         jax.config.update("jax_compilation_cache_dir",
                           str(Path.home() / ".cache" / "jax_comp"))

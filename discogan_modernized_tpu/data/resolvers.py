@@ -203,10 +203,17 @@ def get_task_data(args):
     if task in EDGE_TASKS:
         return (*get_edge2photo_files(task, False), *get_edge2photo_files(task, True))
     if task in PHOTO_PAIR_TASKS:
-        a1, a2 = get_edge2photo_files("edges2handbags", False)
-        ta1, ta2 = get_edge2photo_files("edges2handbags", True)
-        b1, b2 = get_edge2photo_files("edges2shoes", False)
-        tb1, tb2 = get_edge2photo_files("edges2shoes", True)
+        # handbags2shoes: A=handbags, B=shoes (ref image_translation.py:
+        # 109-120). The reference has no shoes2handbags branch in get_data
+        # despite handling its domains at :244 — it would crash with an
+        # UnboundLocalError; here it is the swapped pairing.
+        a_item, b_item = (("edges2handbags", "edges2shoes")
+                          if task == "handbags2shoes"
+                          else ("edges2shoes", "edges2handbags"))
+        a1, a2 = get_edge2photo_files(a_item, False)
+        ta1, ta2 = get_edge2photo_files(a_item, True)
+        b1, b2 = get_edge2photo_files(b_item, False)
+        tb1, tb2 = get_edge2photo_files(b_item, True)
         return (np.hstack([a1, a2]), np.hstack([b1, b2]),
                 np.hstack([ta1, ta2]), np.hstack([tb1, tb2]))
     if task in ("tops2hanbok", "hanbok2tops"):

@@ -91,10 +91,11 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
     import jax
     import jax.numpy as jnp
 
-    # Test/CI hook: force the CPU backend in trainer subprocesses (the
-    # JAX_PLATFORMS env var alone is overridden by TPU sitecustomize hooks
-    # on some hosts).
-    if os.environ.get("DISCOGAN_FORCE_CPU") == "1":
+    # --device cpu (or the CI env hook): pin the CPU backend before first
+    # device use. The reference's analogous path is its CUDA-availability
+    # fallback (image_translation.py:216-223).
+    if (os.environ.get("DISCOGAN_FORCE_CPU") == "1"
+            or getattr(args, "device", None) == "cpu"):
         try:
             jax.config.update("jax_platforms", "cpu")
         except Exception:

@@ -147,3 +147,32 @@ def test_style_A_directory_layout(tmp_path):
     args.task_name = "car2car"
     rp2, _ = build_paths(args, "20260101_000000", angle_variant=True)
     assert "Male" not in str(rp2)
+
+
+def test_shoes2handbags_swapped_pairing(fake_datasets, tmp_path):
+    """shoes2handbags = the swapped pairing (the reference's get_data has no
+    branch for it and would crash with UnboundLocalError)."""
+    from types import SimpleNamespace
+
+    # Needs an edges2handbags dir too.
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.RandomState(9)
+    for split, n in (("train", 4), ("test", 2)):
+        d = fake_datasets / "edges2handbags" / split
+        d.mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            Image.fromarray((rng.rand(64, 512, 3) * 255).astype(np.uint8)
+                            ).save(d / f"hb{i}_AB.jpg")
+
+    from discogan_modernized_tpu.data.resolvers import get_task_data
+
+    args = SimpleNamespace(task_name="shoes2handbags", image_size=16, n_test=1)
+    da, db, ta, tb = get_task_data(args)
+    assert all("edges2shoes" in p for p in da)     # A = shoes
+    assert all("edges2handbags" in p for p in db)  # B = handbags
+    args.task_name = "handbags2shoes"
+    da2, db2, _, _ = get_task_data(args)
+    assert all("edges2handbags" in p for p in da2)
+    assert all("edges2shoes" in p for p in db2)
