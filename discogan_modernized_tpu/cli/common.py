@@ -107,6 +107,11 @@ def add_common_flags(parser: argparse.ArgumentParser, *, task_default: str,
     parser.add_argument('--seed', type=int, default=1234,
                         help='Init seed (the reference distributed trainer '
                              'hardcodes torch.manual_seed(1234))')
+    parser.add_argument('--ckpt_backend', type=str, default='npz',
+                        choices=['npz', 'orbax'],
+                        help='Full-train-state checkpoint backend: npz '
+                             '(single-host archive) or orbax (sharded/'
+                             'async-capable OCDBT)')
     parser.add_argument('--debug', action='store_true',
                         help='Numerics debug mode: jax_debug_nans aborts on '
                              'the first NaN/Inf with a traceback (the '

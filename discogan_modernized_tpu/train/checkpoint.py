@@ -78,22 +78,51 @@ def load_reference_weights(path, name, image_size):
     return _from_state_dict(name, sd, image_size)
 
 
-def save_train_state(model_path, ts, iters: int, meta: dict | None = None):
-    """Full-fidelity internal checkpoint: train_state.npz + meta.json."""
+def save_train_state(model_path, ts, iters: int, meta: dict | None = None,
+                     backend: str = "npz"):
+    """Full-fidelity internal checkpoint.
+
+    backend="npz" (default): single-host numpy archive of the flattened
+    pytree — simple, dependency-free, used for the unreplicated view.
+    backend="orbax": sharded/async-capable OCDBT checkpoint — accepts a
+    mesh-sharded train state directly (GSPMD runs) and restores with the
+    original shardings on multi-host meshes.
+    """
     model_path = Path(model_path)
     model_path.mkdir(parents=True, exist_ok=True)
-    leaves, treedef = jax.tree.flatten(ts)
-    np.savez(model_path / "train_state.npz",
-             **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckpt_dir = (model_path / "train_state_orbax").absolute()
+        if ckpt_dir.exists():
+            import shutil
+
+            shutil.rmtree(ckpt_dir)
+        ckptr.save(ckpt_dir, ts)
+        ckptr.wait_until_finished()
+    else:
+        leaves, treedef = jax.tree.flatten(ts)
+        np.savez(model_path / "train_state.npz",
+                 **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
     with open(model_path / "train_state_meta.json", "w") as f:
-        json.dump({"iters": iters, "n_leaves": len(leaves),
+        json.dump({"iters": iters, "backend": backend,
                    **(meta or {})}, f)
 
 
 def load_train_state(model_path, ts_template):
     """Restore a full checkpoint into the structure of `ts_template`.
-    Returns (ts, iters)."""
+    Returns (ts, iters). Backend auto-detected from the meta file."""
     model_path = Path(model_path)
+    with open(model_path / "train_state_meta.json") as f:
+        meta = json.load(f)
+    if meta.get("backend") == "orbax":
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ts = ckptr.restore((model_path / "train_state_orbax").absolute(),
+                           ts_template)
+        return ts, int(meta["iters"])
     with np.load(model_path / "train_state.npz") as z:
         leaves_t, treedef = jax.tree.flatten(ts_template)
         if len(leaves_t) != len(z.files):
@@ -110,7 +139,5 @@ def load_train_state(model_path, ts_template):
                     f"checkpoint written with a different --image_size or "
                     f"--model_arch?"
                 )
-    with open(model_path / "train_state_meta.json") as f:
-        meta = json.load(f)
     ts = jax.tree.unflatten(treedef, leaves)
     return ts, int(meta["iters"])

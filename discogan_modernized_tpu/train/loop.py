@@ -285,14 +285,16 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
                 view = single_view(ts)
                 save_reference_layout(model_path, view, iters)
                 save_train_state(model_path, view, iters,
-                                 {"task": args.task_name, "arch": args.model_arch})
+                                 {"task": args.task_name, "arch": args.model_arch},
+                                 backend=getattr(args, "ckpt_backend", "npz"))
             iters += 1
             if preempted["flag"]:
                 view = single_view(ts)
                 save_train_state(model_path, view, iters,
                                  {"task": args.task_name,
                                   "arch": args.model_arch,
-                                  "preempted": True})
+                                  "preempted": True},
+                                 backend=getattr(args, "ckpt_backend", "npz"))
                 save_reference_layout(model_path, view, iters)
                 print(f"SIGTERM: 학습 상태 저장 후 종료 (iter {iters}) — "
                       f"--resume {model_path} 로 재개")
@@ -304,7 +306,8 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
         view = single_view(ts)
         save_reference_layout(model_path, view, "final")
         save_train_state(model_path, view, iters,
-                         {"task": args.task_name, "arch": args.model_arch})
+                         {"task": args.task_name, "arch": args.model_arch},
+                         backend=getattr(args, "ckpt_backend", "npz"))
         dt = time.time() - t_start
         if dt > 0 and iters > start_iters:
             print(f"Throughput: "

@@ -200,3 +200,27 @@ def test_edges2shoes_real_data_end_to_end(tmp_path, monkeypatch):
     # 12 images / batch 4 = 3 steps/epoch, 2 epochs = 6 iterations.
     assert "Iter [4/6]" in log or "Iter [2/6]" in log, log
     assert (model_path / "gen_B_final.pth").exists()
+
+
+def test_orbax_checkpoint_backend(tmp_path):
+    """--ckpt_backend orbax writes a restorable OCDBT checkpoint."""
+    pytest.importorskip("orbax.checkpoint")
+    from discogan_modernized_tpu.cli.image_translation import main
+
+    _, model_path = _run_translation(tmp_path, extra=("--ckpt_backend=orbax",))
+    assert (model_path / "train_state_orbax").exists()
+
+    # --resume lives on the distributed trainer's surface.
+    from discogan_modernized_tpu.cli.distributed_image_translation import (
+        main as dmain,
+    )
+
+    result2, _ = dmain([
+        "--task_name=synthetic", "--model_arch=gan", "--image_size=16",
+        "--batch_size=8", "--epochs=1", "--log_interval=10",
+        "--image_save_interval=1000000", "--model_save_interval=1000000",
+        f"--results_dir={tmp_path}/r2", f"--models_dir={tmp_path}/m2",
+        "--precision=f32", f"--resume={model_path}",
+    ])
+    log = (result2 / "training_log.txt").read_text()
+    assert "Iter [40/" in log or "Iter [32/" in log, log

@@ -94,3 +94,29 @@ def test_geometry_schedule():
     assert encoder_channels(64) == [64, 128, 256, 512]
     assert num_features(512) == 6  # model.py:69 returns six feature maps
     assert num_features(64) == 3
+
+
+def test_conv_init_matches_torch_default_distribution():
+    """Torch Conv2d default init is kaiming_uniform(a=sqrt(5)) ==
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)); ConvTranspose2d's fan uses
+    weight.size(1) (the out-channel dim) — the known torch quirk."""
+    import jax
+    import math
+    from discogan_modernized_tpu.ops.conv import conv_init, conv_transpose_init
+
+    w = np.asarray(conv_init(jax.random.PRNGKey(0), 64, 128, 4))
+    bound = 1.0 / math.sqrt(64 * 16)
+    assert np.abs(w).max() <= bound
+    assert np.abs(w).max() > bound * 0.99   # actually fills the range
+    assert abs(np.std(w) - bound / math.sqrt(3)) < bound * 0.02  # uniform std
+
+    wt = np.asarray(conv_transpose_init(jax.random.PRNGKey(1), 64, 128, 4))
+    bound_t = 1.0 / math.sqrt(128 * 16)     # fan from OUT channels
+    assert np.abs(wt).max() <= bound_t
+    assert np.abs(wt).max() > bound_t * 0.99
+
+    # Cross-check against torch's actual default init bounds.
+    conv = torch.nn.Conv2d(64, 128, 4, bias=False)
+    assert abs(float(conv.weight.abs().max()) - bound) < bound * 0.02
+    convt = torch.nn.ConvTranspose2d(64, 128, 4, bias=False)
+    assert abs(float(convt.weight.abs().max()) - bound_t) < bound_t * 0.02
