@@ -115,8 +115,8 @@ def make_gspmd_train_steps(cfg: TrainConfig, mesh, policy: Policy | None = None,
 
         def step(ts, A, B, rate):
             # Shardings depend only on the pytree structure; cache one
-            # jitted callable per structure.
-            key = hash(jax.tree.structure(ts))
+            # jitted callable per structure (treedefs are hashable).
+            key = jax.tree.structure(ts)
             if key not in compiled:
                 compiled[key] = jit_with(ts)
             return compiled[key](ts, A, B, rate)
