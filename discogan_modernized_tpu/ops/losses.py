@@ -18,18 +18,50 @@ All reductions run in float32 regardless of compute dtype.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _LOG_CLAMP = -100.0
+_BCE_GRAD_EPS = 1e-12  # torch ATen binary_cross_entropy backward epsilon
 
 
+@jax.custom_vjp
 def bce_loss(probs, targets):
-    """Binary cross-entropy on probabilities, torch BCELoss semantics."""
+    """Binary cross-entropy on probabilities, torch BCELoss semantics.
+
+    Forward clamps each log term at -100 like torch. The backward is a
+    custom VJP replicating torch's exactly: (p - t) / max(p*(1-p), 1e-12)
+    / N. The naive autodiff of the clamped-log forward produces
+    0 * inf = NaN the moment a sigmoid saturates to exactly 0/1 — which a
+    512px discriminator does within a few updates — while torch's bounded
+    backward (|grad| <= 1e12, then Adam-normalized) trains through it.
+    """
     p = probs.astype(jnp.float32)
     t = targets.astype(jnp.float32)
     log_p = jnp.maximum(jnp.log(p), _LOG_CLAMP)
     log_1p = jnp.maximum(jnp.log1p(-p), _LOG_CLAMP)
     return -jnp.mean(t * log_p + (1.0 - t) * log_1p)
+
+
+def _bce_fwd(probs, targets):
+    return bce_loss(probs, targets), (probs, targets)
+
+
+def _bce_bwd(res, g):
+    probs, targets = res
+    p = probs.astype(jnp.float32)
+    t = targets.astype(jnp.float32)
+    denom = jnp.maximum(p * (1.0 - p), _BCE_GRAD_EPS)
+    grad_p = g * (p - t) / denom / p.size
+    # Targets are constants in every call site; propagate their true
+    # cotangent anyway for generality: dL/dt = -(log p - log(1-p))/N.
+    log_p = jnp.maximum(jnp.log(p), _LOG_CLAMP)
+    log_1p = jnp.maximum(jnp.log1p(-p), _LOG_CLAMP)
+    grad_t = g * -(log_p - log_1p) / p.size
+    return grad_p.astype(probs.dtype), grad_t.astype(targets.dtype)
+
+
+bce_loss.defvjp(_bce_fwd, _bce_bwd)
 
 
 def mse_loss(pred, target):

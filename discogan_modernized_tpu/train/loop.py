@@ -177,6 +177,11 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
                             domain_A=dom_A, domain_B=dom_B,
                             device_put=(n_proc == 1))
     n_batches = loader.n_batches
+    if n_batches == 0:
+        raise SystemExit(
+            f"batch_size={args.batch_size} exceeds the usable dataset size "
+            f"({min(len(data_A), len(data_B))} pairs) — no batches to train "
+            f"on. (The reference silently runs zero iterations here.)")
     total_iterations = args.epochs * n_batches
 
     if n_proc > 1:

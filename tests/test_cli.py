@@ -224,3 +224,15 @@ def test_orbax_checkpoint_backend(tmp_path):
     ])
     log = (result2 / "training_log.txt").read_text()
     assert "Iter [40/" in log or "Iter [32/" in log, log
+
+
+def test_batch_larger_than_dataset_fails_fast(tmp_path):
+    from discogan_modernized_tpu.cli.image_translation import main
+
+    with pytest.raises(SystemExit, match="exceeds the usable dataset"):
+        main([
+            "--task_name=synthetic", "--model_arch=gan", "--image_size=16",
+            "--batch_size=512", "--epochs=1",
+            f"--results_dir={tmp_path}/r", f"--models_dir={tmp_path}/m",
+            "--precision=f32",
+        ])

@@ -88,3 +88,40 @@ def test_gan_losses_match_reference_formula():
     dis, gen = gan_losses(jnp.asarray(real), jnp.asarray(fake))
     assert abs(float(dis) - ref_dis) < 1e-6
     assert abs(float(gen) - ref_gen) < 1e-6
+
+
+def test_bce_gradient_matches_torch_at_saturation():
+    """Torch BCELoss backward: (p-t)/max(p(1-p), 1e-12)/N. At p==0/1 the
+    naive autodiff of the clamped-log forward is NaN (0*inf); the custom
+    VJP must stay finite and equal torch's."""
+    import jax
+    import jax.numpy as jnp
+
+    p = np.array([[0.0], [1.0], [0.5], [1e-20], [0.3]], np.float32)
+    t = np.array([[1.0], [0.0], [1.0], [1.0], [0.0]], np.float32)
+
+    tp = torch.from_numpy(p.copy()).requires_grad_(True)
+    loss = nn.BCELoss()(tp, torch.from_numpy(t))
+    loss.backward()
+    ref_grad = tp.grad.numpy()
+
+    grad = jax.grad(lambda x: bce_loss(x, jnp.asarray(t)))(jnp.asarray(p))
+    grad = np.asarray(grad)
+    assert np.all(np.isfinite(grad))
+    np.testing.assert_allclose(grad, ref_grad, rtol=1e-5, atol=1e-6)
+
+
+def test_gan_loss_gradient_finite_when_discriminator_saturated():
+    import jax
+    import jax.numpy as jnp
+
+    real = np.full((4, 1, 1, 1), 1.0, np.float32)   # D certain: real=1
+    fake = np.full((4, 1, 1, 1), 0.0, np.float32)   # fake=0
+
+    def gen_loss_of(fake):
+        _, gen = gan_losses(jnp.asarray(real), fake)
+        return gen
+
+    g = np.asarray(jax.grad(gen_loss_of)(jnp.asarray(fake)))
+    assert np.all(np.isfinite(g))
+    assert np.abs(g).max() > 0  # still provides a training signal
