@@ -274,6 +274,9 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
 
             if iters % args.log_interval == 0:
                 vals = {k: float(v) for k, v in losses.items()}
+                if not all(np.isfinite(v) for v in vals.values()):
+                    print("경고: 손실에 NaN/Inf 감지 — --debug 로 첫 발생 "
+                          "지점을 추적할 수 있습니다")
                 if logger is not None:
                     logger.log(iters, total_iterations, vals,
                                fm=not angle_variant)

@@ -192,3 +192,79 @@ def test_arch_modes_update_correct_subsets(arch):
     else:
         assert changed("gen_A")
     assert not changed("dis_A")
+
+
+@pytest.mark.parametrize("arch", ["recongan", "gan"])
+def test_arch_mode_trajectories_match_torch(arch):
+    """The recongan/gan mode mixing + optimizer subsets must track the
+    reference loop (whose Adam skips grad-None params under
+    zero_grad(set_to_none=True))."""
+    cfg = TrainConfig(image_size=IMAGE_SIZE, model_arch=arch,
+                      gan_curriculum=3, starting_rate=0.01, default_rate=0.5,
+                      precision="f32")
+    ts = init_train_state(jax.random.PRNGKey(7), cfg)
+    torch_models = _torch_models_from_state(ts)
+
+    rng = np.random.RandomState(7)
+    data = [
+        (rng.rand(BATCH, IMAGE_SIZE, IMAGE_SIZE, 3).astype(np.float32),
+         rng.rand(BATCH, IMAGE_SIZE, IMAGE_SIZE, 3).astype(np.float32))
+        for _ in range(5)
+    ]
+
+    # Torch oracle with the reference's per-arch loss selection
+    # (image_translation.py:374-382).
+    mse = nn.MSELoss()
+    optim_gen = torch.optim.Adam(
+        chain(torch_models["gen_A"].parameters(),
+              torch_models["gen_B"].parameters()),
+        lr=cfg.learning_rate, betas=(cfg.beta1, cfg.beta2),
+        weight_decay=cfg.weight_decay)
+    optim_dis = torch.optim.Adam(
+        chain(torch_models["dis_A"].parameters(),
+              torch_models["dis_B"].parameters()),
+        lr=cfg.learning_rate, betas=(cfg.beta1, cfg.beta2),
+        weight_decay=cfg.weight_decay)
+    ref_log = []
+    for iters, (A_np, B_np) in enumerate(data):
+        A = nhwc_to_nchw_tensor(A_np)
+        B = nhwc_to_nchw_tensor(B_np)
+        for m in torch_models.values():
+            m.zero_grad()
+        AB = torch_models["gen_B"](A)
+        BA = torch_models["gen_A"](B)
+        ABA = torch_models["gen_A"](AB)
+        BAB = torch_models["gen_B"](BA)
+        recon_A = mse(ABA, A)
+        recon_B = mse(BAB, B)
+        A_real, A_fr = torch_models["dis_A"](A)
+        A_fake, A_ff = torch_models["dis_A"](BA)
+        dis_A, gen_A = _torch_gan(A_real, A_fake)
+        fm_A = _torch_fm(A_fr, A_ff)
+        B_real, B_fr = torch_models["dis_B"](B)
+        B_fake, B_ff = torch_models["dis_B"](AB)
+        dis_B, gen_B = _torch_gan(B_real, B_fake)
+        fm_B = _torch_fm(B_fr, B_ff)
+        rate = cfg.rate_for(iters)
+        gen_A_total = (fm_B * 0.9 + gen_B * 0.1) * (1 - rate) + recon_A * rate
+        if arch == "recongan":
+            gen_loss, dis_loss = gen_A_total, dis_B
+        else:  # gan
+            gen_loss, dis_loss = gen_B * 0.1 + fm_B * 0.9, dis_B
+        if iters % cfg.update_interval == 0:
+            dis_loss.backward()
+            optim_dis.step()
+        else:
+            gen_loss.backward()
+            optim_gen.step()
+        ref_log.append({"gen_B": gen_B.item(), "fm_B": fm_B.item(),
+                        "recon_A": recon_A.item(), "dis_B": dis_B.item()})
+
+    gen_step, dis_step = make_train_steps(cfg, F32)
+    for iters, (A, B) in enumerate(data):
+        step = dis_step if cfg.is_dis_iter(iters) else gen_step
+        ts, losses = step(ts, jnp.asarray(A), jnp.asarray(B),
+                          jnp.float32(cfg.rate_for(iters)))
+        for k, ref_v in ref_log[iters].items():
+            assert abs(float(losses[k]) - ref_v) < 5e-4, \
+                f"{arch} iter {iters} {k}: {ref_v} vs {float(losses[k])}"
