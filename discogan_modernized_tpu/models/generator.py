@@ -106,6 +106,12 @@ def generator_apply(params, state, x, *, policy: Policy = F32, training: bool = 
         params["latent"]["bn"], state["latent"], h, training=training, out_dtype=cd, axis_name=axis_name
     )
     h = leaky_relu(h, 0.2)
+    # Tag the (tiny) 1x1 latent so remat policies can save it and
+    # rematerialize the encoder and decoder halves independently
+    # (train/graph.py remat_policy="latent"). No-op without a policy.
+    from jax.ad_checkpoint import checkpoint_name
+
+    h = checkpoint_name(h, "gen_latent")
 
     new_dec_state = []
     n_dec = len(params["decoder"])

@@ -51,7 +51,8 @@ def _unstack_pair(tree):
 
 def discogan_losses_paired(models, model_states, A, B, *, policy: Policy = F32,
                            skip_first_fm: bool = False,
-                           axis_name: str | None = None, remat: bool = False):
+                           axis_name: str | None = None, remat: bool = False,
+                           remat_policy: str | None = None):
     """The same loss graph with every A-side/B-side op pair fused.
 
     The DiscoGAN graph is perfectly symmetric: each forward comes in an
@@ -134,7 +135,7 @@ def discogan_losses_paired(models, model_states, A, B, *, policy: Policy = F32,
 
 def discogan_losses(models, model_states, A, B, *, policy: Policy = F32,
                     skip_first_fm: bool = False, axis_name: str | None = None,
-                    remat: bool = False):
+                    remat: bool = False, remat_policy: str | None = None):
     """Run the full forward graph.
 
     models / model_states: dicts with keys gen_A, gen_B, dis_A, dis_B.
@@ -146,6 +147,11 @@ def discogan_losses(models, model_states, A, B, *, policy: Policy = F32,
     At 512px/b32 the un-remat'd graph (8 forwards' activations + ~8GB of
     params/Adam state) exceeds a v5e chip's 16GB HBM; remat trades ~1
     extra forward per backward for keeping only network inputs/outputs.
+
+    remat_policy="latent" additionally saves the generators' tiny 1x1
+    latents (checkpoint_name in models/generator.py) so the encoder and
+    decoder halves rematerialize independently — less recompute for a few
+    hundred saved floats.
     """
     import jax
 
@@ -158,7 +164,11 @@ def discogan_losses(models, model_states, A, B, *, policy: Policy = F32,
         return discriminator_apply(p, s, x, **kw)
 
     if remat:
-        g_apply = jax.checkpoint(g_apply)
+        ckpt_policy = None
+        if remat_policy == "latent":
+            ckpt_policy = jax.checkpoint_policies.save_only_these_names(
+                "gen_latent")
+        g_apply = jax.checkpoint(g_apply, policy=ckpt_policy)
         d_apply = jax.checkpoint(d_apply)
 
     AB, gb_s1 = g_apply(models["gen_B"], model_states["gen_B"], A)

@@ -62,6 +62,9 @@ class TrainConfig:
     # (on for image_size >= 256, where activations of 8 forwards plus
     # ~8GB of params/Adam state exceed a 16GB v5e chip).
     remat: bool | None = None
+    # remat granularity: None = full-network; "latent" = save the tiny 1x1
+    # generator latents so encoder/decoder halves rematerialize separately.
+    remat_policy: str | None = None
 
     # Fuse each A-side/B-side forward pair into one vmapped (grouped-conv)
     # pass — numerically equivalent, fewer/bigger kernels (graph.py
@@ -107,7 +110,7 @@ def _forward(models, states, A, B, rate, cfg: TrainConfig, policy: Policy):
     losses, new_states = loss_graph(
         models, states, A, B,
         policy=policy, skip_first_fm=cfg.skip_first_fm, axis_name=sync_axis,
-        remat=cfg.use_remat,
+        remat=cfg.use_remat, remat_policy=cfg.remat_policy,
     )
     gen_total, dis_total = mix_losses(losses, rate, cfg.model_arch)
     losses = dict(losses, gen_total=gen_total, dis_total=dis_total)
