@@ -6,8 +6,9 @@ distributed_image_translation.py:48-126, angle_pairing.py:22-72 — epochs
 100 vs 10, starting_rate 0.01 vs 0.9, image_save_interval 1000 vs 500).
 Centralized here; per-entry-point defaults match the reference exactly.
 
-TPU-framework extensions (documented, all optional): --precision, --bn_sync,
---seed.
+TPU-framework extensions (documented, all optional): --precision,
+--bn_sync, --seed, --paired, --remat, --ckpt_backend, --debug, --config,
+and on the distributed trainer --multihost/--resume.
 """
 
 from __future__ import annotations
