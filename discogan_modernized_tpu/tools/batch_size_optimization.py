@@ -22,6 +22,8 @@ def parse_args(argv=None):
     parser = argparse.ArgumentParser(
         description="TPU HBM에 최적화된 배치 크기 찾기")
     parser.add_argument("--device", type=int, default=0, help="사용할 디바이스 ID")
+    parser.add_argument("--gpu", type=int, default=None,
+                        help="참조 구현 호환 플래그 (--device 와 동일)")
     parser.add_argument("--model_arch", type=str, default="discogan",
                         choices=["discogan", "recongan", "gan"])
     parser.add_argument("--image_size", type=int, default=64)
@@ -132,6 +134,8 @@ def find_optimal_batch_size(args) -> dict:
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.gpu is not None:
+        args.device = args.gpu
     result = find_optimal_batch_size(args)
     out = Path(args.output)
     out.write_text(json.dumps(result, indent=2))

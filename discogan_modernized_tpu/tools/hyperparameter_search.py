@@ -61,8 +61,11 @@ def parse_args(argv=None):
     parser = argparse.ArgumentParser(description="DiscoGAN 하이퍼파라미터 탐색")
     parser.add_argument("--task_name", type=str, default="edges2shoes")
     parser.add_argument("--model_arch", type=str, default="discogan")
-    parser.add_argument("--workers", type=int, default=1,
+    parser.add_argument("--workers", type=int, default=None,
                         help="동시 실험 슬롯 수 (칩/호스트 수)")
+    parser.add_argument("--gpus", type=str, default=None,
+                        help="참조 구현 호환 플래그: 디바이스 ID 목록 "
+                             "(쉼표 구분) — 슬롯 수로 해석됩니다")
     parser.add_argument("--trials", type=int, default=20)
     parser.add_argument("--base_epochs", type=int, default=20)
     parser.add_argument("--style_A", type=str, default=None)
@@ -286,6 +289,11 @@ def analyze_results(output_dir, task_name, model_arch):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.workers is None:
+        # Reference-compat: --gpus "0,1,4" meant one trial per listed GPU
+        # (ref hyperparameter_search.py:27); here it sizes the slot pool.
+        args.workers = (len([g for g in args.gpus.split(",") if g.strip()])
+                        if args.gpus else 1)
     if args.seed is not None:
         random.seed(args.seed)
     hps = (generate_hyperparameters() if args.grid
