@@ -127,6 +127,11 @@ def add_common_flags(parser: argparse.ArgumentParser, *, task_default: str,
                         choices=['on', 'off'],
                         help='Activation rematerialization (default: auto, '
                              'on for image_size >= 256)')
+    parser.add_argument('--resume', type=str, default=None,
+                        help='(extension) model dir with a full train-state '
+                             'checkpoint — resumes optimizer/iteration state '
+                             'exactly (used by the monitor for lossless '
+                             'crash restarts)')
     return parser
 
 
@@ -161,9 +166,6 @@ def distributed_parser() -> argparse.ArgumentParser:
                    help='Path to a dis_A checkpoint (.pth) to resume from')
     p.add_argument('--load_dis_B', type=str, default=None,
                    help='Path to a dis_B checkpoint (.pth) to resume from')
-    p.add_argument('--resume', type=str, default=None,
-                   help='(extension) model dir with a full train_state.npz '
-                        'checkpoint — resumes optimizer/iteration state too')
     return p
 
 

@@ -156,8 +156,33 @@ class Monitor:
         self.check_and_restart_jobs(snap["jobs"])
         return snap
 
+    def _resume_dir_for(self, cmdline: str):
+        """Newest full-train-state checkpoint matching the job's
+        models_dir/task/arch — enables LOSSLESS crash restarts (the
+        reference restarts from scratch, SURVEY §5)."""
+        toks = cmdline.split()
+
+        def flag(name, default):
+            for i, t in enumerate(toks):
+                if t.startswith(f"--{name}="):
+                    return t.split("=", 1)[1]
+                if t == f"--{name}" and i + 1 < len(toks):
+                    return toks[i + 1]
+            return default
+
+        if "--resume" in cmdline:
+            return None  # already resuming; relaunch as-is
+        base = Path(flag("models_dir", "./models")) / flag("task_name", "")
+        style = flag("style_A", None)
+        if style:
+            base = base / style
+        base = base / flag("model_arch", "discogan")
+        candidates = sorted(base.glob("*/train_state_meta.json"))
+        return candidates[-1].parent if candidates else None
+
     def check_and_restart_jobs(self, jobs):
-        """Relaunch tracked jobs that disappeared (ref :212-272)."""
+        """Relaunch tracked jobs that disappeared (ref :212-272), resuming
+        from their latest full checkpoint when one exists."""
         current = {j["pid"]: j for j in jobs}
         for pid, job in list(self.known_jobs.items()):
             if pid not in current:
@@ -171,8 +196,18 @@ class Monitor:
                     self.log(f"재시작 한도 초과 (>{MAX_RESTARTS}): {key[:80]}")
                     continue
                 self.restart_counts[key] = n + 1
-                self.log(f"자동 재시작 ({n + 1}/{MAX_RESTARTS}): {key[:80]}")
-                subprocess.Popen(key.split(),
+                cmd = key.split()
+                try:
+                    resume = self._resume_dir_for(key)
+                except Exception:  # noqa: BLE001
+                    resume = None
+                if resume is not None:
+                    cmd.append(f"--resume={resume}")
+                    self.log(f"자동 재시작+복원 ({n + 1}/{MAX_RESTARTS}): "
+                             f"--resume={resume}")
+                else:
+                    self.log(f"자동 재시작 ({n + 1}/{MAX_RESTARTS}): {key[:80]}")
+                subprocess.Popen(cmd,
                                  stdout=subprocess.DEVNULL,
                                  stderr=subprocess.DEVNULL)
         for pid, job in current.items():

@@ -136,3 +136,41 @@ def test_monitor_restart_cap(tmp_path, monkeypatch):
         mon.check_and_restart_jobs([job])
         mon.check_and_restart_jobs([])
     assert len(launched) == MAX_RESTARTS
+
+
+def test_monitor_restart_resumes_from_checkpoint(tmp_path, monkeypatch):
+    """Auto-restart appends --resume to the relaunch command when the
+    job's models_dir holds a full train-state checkpoint (lossless crash
+    recovery — the reference restarts from scratch)."""
+    from discogan_modernized_tpu.tools.monitor import Monitor, parse_args
+
+    ckpt = tmp_path / "models" / "edges2shoes" / "discogan" / "20260101_000000"
+    ckpt.mkdir(parents=True)
+    (ckpt / "train_state_meta.json").write_text('{"iters": 7}')
+
+    args = parse_args([f"--log_dir={tmp_path}/logs", "--no-interactive",
+                       "--auto-restart"])
+    mon = Monitor(args)
+    launched = []
+    monkeypatch.setattr(
+        "subprocess.Popen",
+        lambda cmd, **kw: launched.append(cmd) or SimpleNamespace(pid=1))
+    job = {"pid": 9, "task_name": "edges2shoes",
+           "cmdline": ("python image_translation.py --task_name=edges2shoes "
+                       f"--models_dir={tmp_path}/models")}
+    mon.check_and_restart_jobs([job])
+    mon.check_and_restart_jobs([])
+    assert launched, "no relaunch"
+    assert any(a.startswith("--resume=") and str(ckpt) in a
+               for a in launched[0]), launched[0]
+
+    # Without a checkpoint: plain relaunch, no --resume.
+    mon2 = Monitor(parse_args([f"--log_dir={tmp_path}/logs2",
+                               "--no-interactive", "--auto-restart"]))
+    launched.clear()
+    job2 = {"pid": 10, "task_name": "x",
+            "cmdline": f"python image_translation.py --task_name=x "
+                       f"--models_dir={tmp_path}/nothing"}
+    mon2.check_and_restart_jobs([job2])
+    mon2.check_and_restart_jobs([])
+    assert launched and not any(a.startswith("--resume=") for a in launched[0])
