@@ -104,3 +104,16 @@ def test_local_dp_runs_and_keeps_params_replicated(mesh):
     st = ts["model_states"]["gen_B"]["latent"]["mean"]
     assert np.asarray(st).shape[0] == N_DEV
     assert not np.allclose(np.asarray(st)[0], np.asarray(st)[1])
+
+
+def test_local_dp_composes_with_remat(mesh):
+    """shard_map DP + jax.checkpoint remat (the 512px DP configuration)."""
+    cfg = TrainConfig(image_size=IMAGE_SIZE, precision="f32", remat=True)
+    ts = init_train_state(jax.random.PRNGKey(5), cfg)
+    ts = replicate_train_state(ts, mesh, cfg)
+    gen_step, dis_step = make_dp_train_steps(cfg, mesh)
+    for it, (A, B) in enumerate(_data(2, seed=5)):
+        step = dis_step if cfg.is_dis_iter(it) else gen_step
+        ts, losses = step(ts, jnp.asarray(A), jnp.asarray(B),
+                          jnp.float32(cfg.rate_for(it)))
+        assert np.isfinite(float(losses["gen_total"]))
