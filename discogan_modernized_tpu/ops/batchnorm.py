@@ -23,11 +23,32 @@ BN-stat reduction lives in ops/pallas_fused.py.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 from jax import lax
 
 BN_EPS = 1e-5
 BN_MOMENTUM = 0.1
+
+
+def _use_pallas_stats() -> bool:
+    """Opt-in Pallas BN-stat reduction (DISCOGAN_PALLAS_BN=1), TPU only.
+
+    Read at trace time: the cached jitted step programs bake the choice in
+    per process. XLA remains the default — it fuses the normalize chain
+    into conv epilogues and measured on par or faster (PERF.md); the
+    kernel is kept for cases where that fusion breaks.
+    """
+    if os.environ.get("DISCOGAN_PALLAS_BN") != "1":
+        return False
+    import jax
+
+    if jax.default_backend() not in ("tpu",):
+        return False
+    from . import pallas_fused
+
+    return pallas_fused.HAVE_PALLAS
 
 
 def batchnorm_init(ch: int, dtype=jnp.float32):
@@ -60,8 +81,14 @@ def batchnorm_apply(params, state, x, *, training: bool, eps: float = BN_EPS,
         # step on v5e). f32 accumulation keeps the cancellation error of
         # E[x^2]-E[x]^2 ~1e-7 for unit-scale activations, inside the 1e-4
         # fidelity gate (tests/test_fidelity.py).
-        mean = jnp.mean(x32, axis=(0, 1, 2))
-        sq_mean = jnp.mean(jnp.square(x32), axis=(0, 1, 2))
+        if axis_name is None and _use_pallas_stats():
+            from .pallas_fused import batch_stats
+
+            mean, var_biased = batch_stats(x32)
+            sq_mean = var_biased + jnp.square(mean)
+        else:
+            mean = jnp.mean(x32, axis=(0, 1, 2))
+            sq_mean = jnp.mean(jnp.square(x32), axis=(0, 1, 2))
         n = x.shape[0] * x.shape[1] * x.shape[2]
         if axis_name is not None:
             mean = lax.pmean(mean, axis_name)

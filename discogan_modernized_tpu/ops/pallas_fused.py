@@ -12,12 +12,14 @@ for the stat pass.
 
 `fused_batchnorm_act` is a drop-in for the batchnorm_apply + activation
 pair in inference/eval mode (stats given), and `batch_stats` computes the
-train-mode reduction. Wired behind TrainConfig via ops.batchnorm when
-DISCOGAN_PALLAS_BN=1; numerically validated against the reference path in
-tests/test_pallas.py and benchmarked in tools/kernel_bench.py. The
-default path remains XLA (which already fuses the normalize into conv
-epilogues); the kernel exists for the cases where XLA's fusion breaks
-(large 512px activations, remat boundaries).
+train-mode reduction. `batch_stats` is consumed by ops.batchnorm's
+batchnorm_apply when DISCOGAN_PALLAS_BN=1 on a TPU backend (see
+`_use_pallas_stats` there); numerically validated against the reference
+path in tests/test_pallas.py (interpret mode on CPU, compiled on a real
+TPU) and benchmarked in tools/kernel_bench.py. The default path remains
+XLA (which already fuses the normalize into conv epilogues and measured
+on par or faster — PERF.md); the kernel exists for the cases where XLA's
+fusion breaks (large 512px activations, remat boundaries).
 """
 
 from __future__ import annotations

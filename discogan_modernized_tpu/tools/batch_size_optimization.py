@@ -53,7 +53,8 @@ def _memory_utilization(device) -> float | None:
     return None
 
 
-def test_batch_size(batch_size: int, image_size: int, *, train_step: bool = False):
+def test_batch_size(batch_size: int, image_size: int, *, train_step: bool = False,
+                    device_id: int = 0):
     """Try one candidate. Returns (ok, mem_utilization|None)."""
     import jax
     import jax.numpy as jnp
@@ -63,13 +64,22 @@ def test_batch_size(batch_size: int, image_size: int, *, train_step: bool = Fals
     from ..train.step import TrainConfig, init_train_state, make_train_steps
     from ..train.graph import discogan_losses
 
-    device = jax.devices()[0]
+    devices = jax.devices()
+    if not 0 <= device_id < len(devices):
+        raise SystemExit(
+            f"--device {device_id} 범위 밖: 사용 가능한 디바이스 "
+            f"{len(devices)}개 (0..{len(devices) - 1})")
+    device = devices[device_id]
     cfg = TrainConfig(image_size=image_size)
     rng = np.random.RandomState(0)
-    A = jnp.asarray(rng.rand(batch_size, image_size, image_size, 3), jnp.float32)
-    B = jnp.asarray(rng.rand(batch_size, image_size, image_size, 3), jnp.float32)
+    A = jax.device_put(
+        jnp.asarray(rng.rand(batch_size, image_size, image_size, 3), jnp.float32),
+        device)
+    B = jax.device_put(
+        jnp.asarray(rng.rand(batch_size, image_size, image_size, 3), jnp.float32),
+        device)
     try:
-        ts = init_train_state(jax.random.PRNGKey(0), cfg)
+        ts = jax.device_put(init_train_state(jax.random.PRNGKey(0), cfg), device)
         if train_step:
             gen_step, dis_step = make_train_steps(cfg)
             ts, losses = dis_step(ts, A, B, jnp.float32(0.01))
@@ -107,7 +117,8 @@ def find_optimal_batch_size(args) -> dict:
             lo = mid + 1
             continue
         print(f"배치 크기 {bs} 테스트 중...")
-        ok, util = test_batch_size(bs, args.image_size, train_step=args.train_step)
+        ok, util = test_batch_size(bs, args.image_size, train_step=args.train_step,
+                                   device_id=args.device)
         over_target = util is not None and util > args.target_memory
         history.append({"batch_size": bs, "ok": bool(ok),
                         "memory_utilization": util})

@@ -16,8 +16,11 @@ protocol:
 - metric extraction + ranking by avg_recon_loss (ref :253-361)
 
 TPU adaptation: the nvidia-smi free-GPU probe becomes a worker-slot pool
-(--workers; one chip = one slot). Device pinning env (CUDA_VISIBLE_DEVICES)
-is not needed under SPMD but slots serialize trials per chip.
+(--workers; one chip = one slot). Slot 0..n_chips-1 run on the TPU; slots
+beyond the visible chip count run with DISCOGAN_FORCE_CPU=1 so concurrent
+trials never contend for one chip (concurrent TPU processes silently
+corrupt each other's throughput on this backend — PERF.md). Set
+DISCOGAN_NUM_CHIPS to the real chip count to widen the TPU slot pool.
 """
 
 from __future__ import annotations
@@ -136,6 +139,12 @@ def run_trial(hp, args, slot_id, trial_id):
 
     env = os.environ.copy()
     env["DISCOGAN_WORKER_SLOT"] = str(slot_id)
+    # One trial per chip: slots past the visible chip count overflow to
+    # CPU instead of silently sharing the TPU (which corrupts both trials'
+    # numbers on this backend).
+    n_chips = int(os.environ.get("DISCOGAN_NUM_CHIPS", "1"))
+    if slot_id >= n_chips:
+        env["DISCOGAN_FORCE_CPU"] = "1"
 
     log_file = result_dir / "train.log"
     print(f"시작: 실험 {trial_id}, 슬롯 {slot_id}")
@@ -181,23 +190,16 @@ def check_early_stop(log_file: Path, state: dict, patience: int) -> bool:
     return state["no_improvement"] >= patience
 
 
-def monitor_process(process, result_dir, trial_info, args):
-    """Poll the trial until exit; early-stop on stagnating RECON.
-    (Fixes the reference's undefined start_time at :244.)"""
-    log_file = Path(trial_info["log_file"])
-    es_state: dict = {}
-    while process.poll() is None:
-        time.sleep(args.poll_interval)
-        if args.early_stopping and check_early_stop(log_file, es_state, args.patience):
-            print(f"조기 종료: 실험 {trial_info['trial_id']}, "
-                  f"{args.patience}회 이상 성능 개선 없음")
-            process.terminate()
-            try:
-                process.wait(timeout=30)
-            except subprocess.TimeoutExpired:
-                process.kill()
-            break
-    process.wait()
+def _terminate(process):
+    process.terminate()
+    try:
+        process.wait(timeout=30)
+    except subprocess.TimeoutExpired:
+        process.kill()
+        process.wait()
+
+
+def _finalize_trial(process, result_dir, trial_info):
     trial_info["status"] = "completed"
     trial_info["end_time"] = datetime.now().strftime("%Y%m%d_%H%M%S")
     trial_info["duration"] = time.time() - trial_info["start_timestamp"]
@@ -205,7 +207,24 @@ def monitor_process(process, result_dir, trial_info, args):
     with open(result_dir / "trial_info.json", "w") as f:
         json.dump(trial_info, f, indent=2)
     print(f"완료: 실험 {trial_info['trial_id']}, 슬롯 {trial_info['slot_id']}")
-    return extract_metrics(log_file)
+    return extract_metrics(Path(trial_info["log_file"]))
+
+
+def monitor_process(process, result_dir, trial_info, args):
+    """Poll one trial until exit; early-stop on stagnating RECON.
+    (Fixes the reference's undefined start_time at :244.) Kept as the
+    single-trial API; main() polls ALL concurrent trials per cycle."""
+    log_file = Path(trial_info["log_file"])
+    es_state: dict = {}
+    while process.poll() is None:
+        time.sleep(args.poll_interval)
+        if args.early_stopping and check_early_stop(log_file, es_state, args.patience):
+            print(f"조기 종료: 실험 {trial_info['trial_id']}, "
+                  f"{args.patience}회 이상 성능 개선 없음")
+            _terminate(process)
+            break
+    process.wait()
+    return _finalize_trial(process, result_dir, trial_info)
 
 
 def extract_metrics(log_file: Path) -> dict:
@@ -299,16 +318,40 @@ def main(argv=None):
     hps = (generate_hyperparameters() if args.grid
            else sample_hyperparameters(args.trials))[: args.trials]
 
-    running: list = []  # (process, result_dir, trial_info)
+    # Poll ALL running trials each cycle (the reference design monitors
+    # every launched trial, :202-251) — early stopping fires on any
+    # concurrent trial, not just the oldest, and finished slots free up
+    # immediately.
+    free_slots = list(range(max(args.workers, 1)))
+    running: list[dict] = []
     metrics_by_trial = {}
     trial_id = 0
     while trial_id < len(hps) or running:
-        while trial_id < len(hps) and len(running) < args.workers:
-            slot = trial_id % max(args.workers, 1)
-            running.append(run_trial(hps[trial_id], args, slot, trial_id))
+        while trial_id < len(hps) and free_slots:
+            slot = free_slots.pop(0)
+            proc, rdir, info = run_trial(hps[trial_id], args, slot, trial_id)
+            running.append({"proc": proc, "rdir": rdir, "info": info,
+                            "slot": slot, "es_state": {}})
             trial_id += 1
-        proc, rdir, info = running.pop(0)
-        metrics_by_trial[info["trial_id"]] = monitor_process(proc, rdir, info, args)
+        time.sleep(args.poll_interval)
+        still = []
+        for t in running:
+            if t["proc"].poll() is None:
+                if args.early_stopping and check_early_stop(
+                        Path(t["info"]["log_file"]), t["es_state"],
+                        args.patience):
+                    print(f"조기 종료: 실험 {t['info']['trial_id']}, "
+                          f"{args.patience}회 이상 성능 개선 없음")
+                    _terminate(t["proc"])
+                else:
+                    still.append(t)
+                    continue
+            t["proc"].wait()
+            metrics_by_trial[t["info"]["trial_id"]] = _finalize_trial(
+                t["proc"], t["rdir"], t["info"])
+            free_slots.append(t["slot"])
+        free_slots.sort()
+        running = still
 
     return analyze_results(args.output_dir, args.task_name, args.model_arch)
 

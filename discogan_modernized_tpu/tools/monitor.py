@@ -19,8 +19,10 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import subprocess
 import threading
+import time
 from datetime import datetime
 from pathlib import Path
 
@@ -41,6 +43,10 @@ def parse_args(argv=None):
                         help="메모리 사용률 경고 임계값")
     parser.add_argument("--auto-restart", action="store_true",
                         help="사라진 학습 작업 자동 재시작 (최대 3회)")
+    parser.add_argument("--stall-polls", type=int, default=3,
+                        help="연속 N회 폴링 동안 학습 진행이 없으면 경고 "
+                             "(디바이스 텔레메트리가 없는 백엔드에서의 "
+                             "사용률 프록시)")
     parser.add_argument("--no-interactive", action="store_true",
                         help="대화형 메뉴 없이 데몬으로 실행")
     parser.add_argument("--iterations", type=int, default=None,
@@ -90,6 +96,28 @@ def host_stats() -> dict:
     return out
 
 
+def _proc_argv_cwd(pid: int):
+    """Exact argv (null-separated, quoting-safe) + cwd from /proc while the
+    process is alive — what a faithful relaunch needs; ps output mangles
+    quoted/space-containing arguments."""
+    try:
+        raw = Path(f"/proc/{pid}/cmdline").read_bytes()
+        argv = [a for a in raw.decode(errors="replace").split("\0") if a]
+        cwd = os.readlink(f"/proc/{pid}/cwd")
+        return argv or None, cwd
+    except OSError:
+        return None, None
+
+
+def _flag_value(toks, name, default=None):
+    for i, t in enumerate(toks):
+        if t.startswith(f"--{name}="):
+            return t.split("=", 1)[1]
+        if t == f"--{name}" and i + 1 < len(toks):
+            return toks[i + 1]
+    return default
+
+
 def find_training_jobs() -> list[dict]:
     """DiscoGAN trainer processes by ps cmdline, with --task_name
     attribution (ref gpu_monitor.py:68-117)."""
@@ -105,14 +133,11 @@ def find_training_jobs() -> list[dict]:
         pid_str, _, cmd = line.partition(" ")
         if not any(s in cmd for s in TRAINER_SCRIPTS):
             continue
-        task = None
-        for tok in cmd.split():
-            if tok.startswith("--task_name="):
-                task = tok.split("=", 1)[1]
-            elif tok == "--task_name":
-                idx = cmd.split().index(tok)
-                task = cmd.split()[idx + 1] if idx + 1 < len(cmd.split()) else None
-        jobs.append({"pid": int(pid_str), "cmdline": cmd, "task_name": task})
+        task = _flag_value(cmd.split(), "task_name")
+        pid = int(pid_str)
+        argv, cwd = _proc_argv_cwd(pid)
+        jobs.append({"pid": pid, "cmdline": cmd, "task_name": task,
+                     "argv": argv, "cwd": cwd})
     return jobs
 
 
@@ -126,6 +151,10 @@ class Monitor:
         self.history: list[dict] = []
         self.known_jobs: dict[int, dict] = {}
         self.restart_counts: dict[str, int] = {}
+        # pid -> (last seen iter, wall time, consecutive stalled polls):
+        # the training-log-derived utilization proxy (the tunnel backend
+        # exposes no device util/temp, ref gpu_monitor.py:41-66 analog).
+        self.progress: dict[int, tuple[int, float, int]] = {}
         self.stop_event = threading.Event()
 
     def log(self, msg: str):
@@ -135,6 +164,65 @@ class Monitor:
         with open(self.text_log, "a") as f:
             f.write(line + "\n")
 
+    _ITER_RE = re.compile(r"Iter \[(\d+)/(\d+)\]")
+
+    def _job_iters(self, job) -> int | None:
+        """Latest iteration from the job's newest training_log.txt (the
+        C21 line contract), resolving results_dir against the job's cwd."""
+        argv = job.get("argv") or job["cmdline"].split()
+        base = Path(_flag_value(argv, "results_dir", "./results"))
+        if not base.is_absolute() and job.get("cwd"):
+            base = Path(job["cwd"]) / base
+        base = base / _flag_value(argv, "task_name", "")
+        style = _flag_value(argv, "style_A")
+        if style:
+            base = base / style
+        base = base / _flag_value(argv, "model_arch", "discogan")
+        try:
+            logs = sorted(base.glob("*/training_log.txt"),
+                          key=lambda p: p.stat().st_mtime)
+            if not logs:
+                return None
+            with open(logs[-1], "rb") as f:
+                f.seek(max(0, f.seek(0, 2) - 4096))
+                tail = f.read().decode(errors="replace")
+        except OSError:
+            return None
+        ms = self._ITER_RE.findall(tail)
+        return int(ms[-1][0]) if ms else None
+
+    def update_job_progress(self, jobs):
+        """Step-rate-derived utilization proxy + stall alerting: through
+        the tunnel the backend exposes no device util/temp, so 'is the
+        chip making training progress' is derived from the jobs' logs."""
+        now = time.time()
+        for job in jobs:
+            pid = job["pid"]
+            it = self._job_iters(job)
+            if it is None:
+                continue
+            prev = self.progress.get(pid)
+            if prev is not None:
+                prev_it, prev_t, stalled = prev
+                if it > prev_it and now > prev_t:
+                    job["step_rate"] = (it - prev_it) / (now - prev_t)
+                    stalled = 0
+                else:
+                    stalled += 1
+                    if stalled == self.args.stall_polls:
+                        self.log(f"경고: PID {pid} ({job.get('task_name')}) "
+                                 f"학습 정체 — {stalled}회 폴링 동안 "
+                                 f"iter {it}에서 진행 없음")
+                self.progress[pid] = (it, now if it > prev_it else prev_t,
+                                      stalled)
+            else:
+                self.progress[pid] = (it, now, 0)
+            job["iters"] = it
+        live = {j["pid"] for j in jobs}
+        for pid in list(self.progress):
+            if pid not in live:
+                del self.progress[pid]
+
     def poll_once(self):
         snap = {
             "time": datetime.now().isoformat(),
@@ -142,6 +230,7 @@ class Monitor:
             "host": host_stats(),
             "jobs": find_training_jobs(),
         }
+        self.update_job_progress(snap["jobs"])
         self.history.append(snap)
         self.json_log.write_text(json.dumps(self.history[-500:], indent=2))
 
@@ -156,33 +245,29 @@ class Monitor:
         self.check_and_restart_jobs(snap["jobs"])
         return snap
 
-    def _resume_dir_for(self, cmdline: str):
+    def _resume_dir_for(self, argv: list[str], cwd: str | None):
         """Newest full-train-state checkpoint matching the job's
         models_dir/task/arch — enables LOSSLESS crash restarts (the
-        reference restarts from scratch, SURVEY §5)."""
-        toks = cmdline.split()
-
-        def flag(name, default):
-            for i, t in enumerate(toks):
-                if t.startswith(f"--{name}="):
-                    return t.split("=", 1)[1]
-                if t == f"--{name}" and i + 1 < len(toks):
-                    return toks[i + 1]
-            return default
-
-        if "--resume" in cmdline:
+        reference restarts from scratch, SURVEY §5). Relative models_dir
+        resolves against the JOB's cwd, not the monitor's."""
+        if any(t == "--resume" or t.startswith("--resume=") for t in argv):
             return None  # already resuming; relaunch as-is
-        base = Path(flag("models_dir", "./models")) / flag("task_name", "")
-        style = flag("style_A", None)
+        base = Path(_flag_value(argv, "models_dir", "./models"))
+        if not base.is_absolute() and cwd:
+            base = Path(cwd) / base
+        base = base / _flag_value(argv, "task_name", "")
+        style = _flag_value(argv, "style_A")
         if style:
             base = base / style
-        base = base / flag("model_arch", "discogan")
+        base = base / _flag_value(argv, "model_arch", "discogan")
         candidates = sorted(base.glob("*/train_state_meta.json"))
         return candidates[-1].parent if candidates else None
 
     def check_and_restart_jobs(self, jobs):
         """Relaunch tracked jobs that disappeared (ref :212-272), resuming
-        from their latest full checkpoint when one exists."""
+        from their latest full checkpoint when one exists. Relaunch uses
+        the exact /proc argv + cwd captured while the job was alive, with
+        output kept in a restart log (not discarded)."""
         current = {j["pid"]: j for j in jobs}
         for pid, job in list(self.known_jobs.items()):
             if pid not in current:
@@ -190,15 +275,18 @@ class Monitor:
                 del self.known_jobs[pid]
                 if not self.args.auto_restart:
                     continue
-                key = job["cmdline"]
+                argv = job.get("argv") or job["cmdline"].split()
+                cwd = job.get("cwd")
+                key = "\0".join(argv)
                 n = self.restart_counts.get(key, 0)
                 if n >= MAX_RESTARTS:
-                    self.log(f"재시작 한도 초과 (>{MAX_RESTARTS}): {key[:80]}")
+                    self.log(f"재시작 한도 초과 (>{MAX_RESTARTS}): "
+                             f"{job['cmdline'][:80]}")
                     continue
                 self.restart_counts[key] = n + 1
-                cmd = key.split()
+                cmd = list(argv)
                 try:
-                    resume = self._resume_dir_for(key)
+                    resume = self._resume_dir_for(argv, cwd)
                 except Exception:  # noqa: BLE001
                     resume = None
                 if resume is not None:
@@ -206,10 +294,12 @@ class Monitor:
                     self.log(f"자동 재시작+복원 ({n + 1}/{MAX_RESTARTS}): "
                              f"--resume={resume}")
                 else:
-                    self.log(f"자동 재시작 ({n + 1}/{MAX_RESTARTS}): {key[:80]}")
-                subprocess.Popen(cmd,
-                                 stdout=subprocess.DEVNULL,
-                                 stderr=subprocess.DEVNULL)
+                    self.log(f"자동 재시작 ({n + 1}/{MAX_RESTARTS}): "
+                             f"{job['cmdline'][:80]}")
+                restart_log = self.log_dir / f"restart_pid{pid}_{n + 1}.log"
+                with open(restart_log, "ab") as out:
+                    subprocess.Popen(cmd, cwd=cwd, stdout=out,
+                                     stderr=subprocess.STDOUT)
         for pid, job in current.items():
             if pid not in self.known_jobs:
                 self.known_jobs[pid] = job

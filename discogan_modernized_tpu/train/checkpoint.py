@@ -65,16 +65,26 @@ def save_reference_layout(model_path, ts, tag):
 
 def load_reference_weights(path, name, image_size):
     """Load one reference-layout .pth into (params, state). Accepts real
-    torch checkpoints (including ones produced by the PyTorch reference)."""
+    torch checkpoints (including ones produced by the PyTorch reference).
+
+    Raw pickle is used only when torch is not importable (matching the
+    torch-free save path above) or with DISCOGAN_ALLOW_PICKLE=1 — a failed
+    torch.load(weights_only=True) is NOT silently retried through pickle,
+    which would reopen the arbitrary-code-execution path weights_only
+    exists to close."""
+    import os
+
     path = Path(path)
     try:
         import torch
-
-        raw = torch.load(path, map_location="cpu", weights_only=True)
-        sd = {k: np.asarray(v) for k, v in raw.items()}
-    except Exception:
+    except ImportError:
+        torch = None
+    if torch is None or os.environ.get("DISCOGAN_ALLOW_PICKLE") == "1":
         with open(path, "rb") as f:
             sd = pickle.load(f)
+    else:
+        raw = torch.load(path, map_location="cpu", weights_only=True)
+        sd = {k: np.asarray(v) for k, v in raw.items()}
     return _from_state_dict(name, sd, image_size)
 
 

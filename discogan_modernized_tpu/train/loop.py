@@ -116,7 +116,20 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
     # Multi-host slice: TPU-runtime rendezvous replaces the reference's
     # MASTER_ADDR/PORT + NCCL init (distributed_image_translation.py:26-40).
     if getattr(args, "multihost", False):
-        jax.distributed.initialize()
+        if not distributed:
+            raise SystemExit(
+                "--multihost requires --distributed: a multi-host run "
+                "shards the global batch over a device mesh, which only "
+                "the distributed trainer builds.")
+        # Explicit rendezvous flags make the path testable with plain CPU
+        # processes; on a real TPU slice all three default to None and
+        # initialize() autodetects from the TPU runtime.
+        coord = getattr(args, "coordinator_address", None)
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=getattr(args, "num_processes", None),
+            process_id=getattr(args, "process_id", None),
+        ) if coord else jax.distributed.initialize()
     n_proc = jax.process_count()
     is_main = jax.process_index() == 0
 
@@ -259,12 +272,23 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
     except ValueError:  # not main thread
         pass
 
+    # A resumed run continues to the ORIGINAL total (epochs * n_batches),
+    # not start_iters + epochs * n_batches: completed epochs are skipped
+    # and the partially-trained epoch resumes mid-way, so monitor
+    # auto-restarts are lossless rather than over-training.
     iters = start_iters
+    start_epoch = min(start_iters // n_batches, args.epochs)
+    skip_batches = start_iters - start_epoch * n_batches
     t_start = time.time()
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         it = loader.epoch()
-        prog = tqdm(range(n_batches), desc=f"Epoch {epoch+1}/{args.epochs}") \
-            if tqdm else range(n_batches)
+        steps_this_epoch = n_batches - skip_batches
+        for _ in range(skip_batches):  # consume the already-trained prefix
+            next(it)
+        skip_batches = 0
+        prog = tqdm(range(steps_this_epoch),
+                    desc=f"Epoch {epoch+1}/{args.epochs}") \
+            if tqdm else range(steps_this_epoch)
         for _ in prog:
             A, B = next(it)
             A, B = to_global(A), to_global(B)

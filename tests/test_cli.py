@@ -128,17 +128,20 @@ def test_full_state_resume(tmp_path):
         f"--results_dir={tmp_path}/r1", f"--models_dir={tmp_path}/m1",
         "--precision=f32",
     ])
+    # Resume continues toward the requested total: epoch 1 is already
+    # done, so --epochs=2 trains exactly the second epoch (iters 32..63).
     result2, _ = main([
         "--task_name=synthetic", "--model_arch=gan", "--image_size=16",
-        "--batch_size=8", "--epochs=1", "--log_interval=10",
+        "--batch_size=8", "--epochs=2", "--log_interval=10",
         "--image_save_interval=1000000", "--model_save_interval=1000000",
         f"--results_dir={tmp_path}/r2", f"--models_dir={tmp_path}/m2",
         "--precision=f32", f"--resume={model_path}",
     ])
     log = (result2 / "training_log.txt").read_text()
     # 256 synthetic samples / batch 8 = 32 steps/epoch; resumed run starts
-    # at iter 32.
-    assert "Iter [40/" in log or "Iter [32/" in log, log
+    # at iter 32 (first multiple of log_interval=10 after that is 40).
+    assert "Iter [40/" in log, log
+    assert "Iter [30/" not in log, log  # completed epoch 1 is not re-run
 
 
 def test_yaml_config_defaults(tmp_path):
@@ -217,13 +220,13 @@ def test_orbax_checkpoint_backend(tmp_path):
 
     result2, _ = dmain([
         "--task_name=synthetic", "--model_arch=gan", "--image_size=16",
-        "--batch_size=8", "--epochs=1", "--log_interval=10",
+        "--batch_size=8", "--epochs=2", "--log_interval=10",
         "--image_save_interval=1000000", "--model_save_interval=1000000",
         f"--results_dir={tmp_path}/r2", f"--models_dir={tmp_path}/m2",
         "--precision=f32", f"--resume={model_path}",
     ])
     log = (result2 / "training_log.txt").read_text()
-    assert "Iter [40/" in log or "Iter [32/" in log, log
+    assert "Iter [40/" in log, log  # resumes at iter 32, not from scratch
 
 
 def test_batch_larger_than_dataset_fails_fast(tmp_path):

@@ -33,15 +33,24 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
     # The reference .pth layout is also written at the preemption point.
     assert any(model_path.glob("gen_B_*.pth"))
 
-    # Resume picks up at the saved iteration.
+    # Resume picks up at the saved iteration and trains only the REMAINDER
+    # of the requested total (epochs * n_batches), not epochs more — the
+    # monitor's lossless auto-restart must not over-train.
     from discogan_modernized_tpu.cli.distributed_image_translation import main as dmain
 
+    n_batches = 256 // 8  # synthetic task: 256 pairs (data/resolvers.py)
+    resume_epochs = saved_iter // n_batches + 1
+    total = resume_epochs * n_batches
     result2, _ = dmain([
         "--task_name=synthetic", "--model_arch=gan", "--image_size=16",
-        "--batch_size=8", "--epochs=1", "--log_interval=1",
+        f"--epochs={resume_epochs}", "--batch_size=8", "--log_interval=1",
         "--image_save_interval=1000000", "--model_save_interval=1000000",
         f"--results_dir={tmp_path}/r2", f"--models_dir={tmp_path}/m2",
         "--precision=f32", f"--resume={model_path}",
     ])
     log = (result2 / "training_log.txt").read_text()
-    assert f"Iter [{saved_iter}/" in log
+    assert f"Iter [{saved_iter}/{total}]" in log  # first resumed step
+    logged = [int(m) for m in __import__("re").findall(r"Iter \[(\d+)/", log)]
+    assert min(logged) == saved_iter  # completed prefix is skipped
+    assert max(logged) == total - 1  # ends at the original total, exactly
+    assert len(logged) == total - saved_iter  # trains only the remainder

@@ -80,7 +80,8 @@ def test_batch_probe_bisection(monkeypatch, tmp_path):
 
     monkeypatch.setattr(
         bso, "test_batch_size",
-        lambda bs, size, train_step=False: (bs <= 96, 0.5 if bs <= 96 else None))
+        lambda bs, size, train_step=False, device_id=0:
+            (bs <= 96, 0.5 if bs <= 96 else None))
     args = bso.parse_args([
         "--min_batch=16", "--max_batch=512", "--step=16",
         f"--output={tmp_path}/out.json"])
