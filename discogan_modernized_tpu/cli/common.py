@@ -132,6 +132,18 @@ def add_common_flags(parser: argparse.ArgumentParser, *, task_default: str,
                              'checkpoint — resumes optimizer/iteration state '
                              'exactly (used by the monitor for lossless '
                              'crash restarts)')
+    parser.add_argument('--steps_per_call', type=int, default=None,
+                        help='(extension) train iterations fused into one '
+                             'XLA program (lax.scan with on-device batch '
+                             'gather) when the decoded dataset is HBM-'
+                             'resident. Default: 8 in that case, else 1. '
+                             '1 = one dispatch per step (reference-style '
+                             'loop). Logging/sample/checkpoint cadences are '
+                             'preserved exactly at any value.')
+    parser.add_argument('--no_device_cache', action='store_true',
+                        help='(extension) disable the HBM-resident decoded '
+                             'dataset (falls back to the host prefetch '
+                             'pipeline + per-step transfers)')
     return parser
 
 
@@ -154,10 +166,31 @@ def distributed_parser() -> argparse.ArgumentParser:
                         'initialize() (TPU runtime rendezvous — no '
                         'MASTER_ADDR/PORT), shards data per host, gates '
                         'logging/checkpoints to process 0')
+    p.add_argument('--coordinator_address', type=str, default=None,
+                   help='(multihost) explicit host:port rendezvous for '
+                        'non-TPU backends / tests; on a TPU slice leave '
+                        'unset for runtime autodetection')
+    p.add_argument('--num_processes', type=int, default=None,
+                   help='(multihost) process count when '
+                        '--coordinator_address is given')
+    p.add_argument('--process_id', type=int, default=None,
+                   help='(multihost) this process\'s id when '
+                        '--coordinator_address is given')
     p.add_argument('--local_rank', type=int, default=0,
                    help='Kept for launcher compatibility; SPMD needs no ranks')
     p.add_argument('--world_size', type=int, default=None,
                    help='Number of devices (default: all visible devices)')
+    p.add_argument('--parallel_mode', type=str, default='dp',
+                   choices=['dp', 'gspmd', 'spatial'],
+                   help='(extension) parallelism strategy: dp = shard_map '
+                        'data parallelism (DDP-faithful); gspmd = DPxTP '
+                        'with wide conv kernels channel-sharded on the '
+                        'model axis; spatial = DPxSP with image height '
+                        'sharded (activation memory scales down with the '
+                        'mesh — for 512px)')
+    p.add_argument('--tp', type=int, default=None,
+                   help='(extension) model-axis size for gspmd/spatial '
+                        '(default: 2 when the device count is even)')
     p.add_argument('--load_gen_A', type=str, default=None,
                    help='Path to a gen_A checkpoint (.pth) to resume from')
     p.add_argument('--load_gen_B', type=str, default=None,

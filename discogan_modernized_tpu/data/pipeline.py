@@ -12,6 +12,7 @@ datasets (car2car, synthetic) bypass decode entirely.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Optional
@@ -47,7 +48,8 @@ class PrefetchLoader:
     def __init__(self, data_A, data_B, batch_size: int, image_size: int,
                  domain_A: Optional[str] = None, domain_B: Optional[str] = None,
                  prefetch: int = 3, device_put: bool = True,
-                 workers: Optional[int] = None):
+                 workers: Optional[int] = None, cache: Optional[bool] = None,
+                 device_cache: Optional[bool] = None):
         self.data_A = np.asarray(data_A)
         self.data_B = np.asarray(data_B)
         self.batch_size = batch_size
@@ -62,40 +64,203 @@ class PrefetchLoader:
         # GIL, so threads scale with host cores (the reference decodes
         # serially on the main thread — its dominant bottleneck, or with 4
         # DataLoader worker processes in the DDP trainer).
-        import os
-
         if workers is None:
             workers = min(8, os.cpu_count() or 1)
         self.workers = max(1, workers)
         self._pool = None
+        # Decoded-sample cache: first touch of each sample pays the decode,
+        # every later epoch is a page-cache-speed memmap read with
+        # bit-identical numerics (data/cache.py). Opt out with cache=False
+        # or DISCOGAN_DATA_CACHE=0.
+        self.cache_A = self.cache_B = None
+        from .cache import DecodedCache, cache_enabled
+
+        if cache is None:
+            cache = cache_enabled()
+        if cache:
+            try:
+                if self.paths_A:
+                    self.cache_A = DecodedCache(self.data_A, domain_A, image_size)
+                if self.paths_B:
+                    self.cache_B = DecodedCache(self.data_B, domain_B, image_size)
+            except OSError as e:  # cache larger than free disk: run uncached
+                print(f"디코딩 캐시 비활성화: {e}")
+                self.cache_A = self.cache_B = None
+        # Device-resident dataset: when the decoded dataset fits an HBM
+        # budget, keep BOTH domains on the chip and gather batches on
+        # device — zero per-step H2D (the per-batch transfer otherwise
+        # bounds throughput; through the dev tunnel it is ~50 MB/s).
+        self._dev_A = self._dev_B = None
+        if device_cache is None:
+            device_cache = (device_put
+                            and os.environ.get("DISCOGAN_DEVICE_CACHE", "1") != "0"
+                            and self._fits_device_budget())
+        self.device_cache = bool(device_cache) and device_put
 
     @property
     def n_batches(self) -> int:
         return min(len(self.data_A), len(self.data_B)) // self.batch_size
 
-    def _decode(self, batch, is_paths: bool, domain):
+    def _fits_device_budget(self) -> bool:
+        """True when both decoded domains fit the HBM budget
+        (DISCOGAN_DEVICE_CACHE_BUDGET bytes; default 30% of the reported
+        HBM limit, or 4 GB when the backend hides memory stats)."""
+        per = self.image_size * self.image_size * 3 * 4
+        need = (len(self.data_A) + len(self.data_B)) * per
+        budget = os.environ.get("DISCOGAN_DEVICE_CACHE_BUDGET")
+        if budget is not None:
+            return need <= int(float(budget))
+        limit = None
+        try:
+            import jax
+
+            stats = jax.devices()[0].memory_stats()
+            limit = (stats or {}).get("bytes_limit")
+        except Exception:  # backend without memory stats (the dev tunnel)
+            limit = None
+        return need <= (0.3 * limit if limit else 4e9)
+
+    def _build_device_dataset(self):
+        """Decode every sample once (through the disk cache) and pin both
+        domains in HBM. Decode failures substitute a random image, like the
+        reference's DataLoader path (dataset.py:258-261), keeping counts —
+        and therefore jitted batch shapes — stable."""
+        import jax
+        import jax.numpy as jnp
+
+        from .preprocess import decode_image
+
+        def build(data, is_paths, domain, cache):
+            if not is_paths:
+                return jax.device_put(np.asarray(data, np.float32))
+            chunks = []
+            chunk = 256
+            paths = [str(p) for p in data]
+            for i in range(0, len(paths), chunk):
+                part = paths[i:i + chunk]
+                arrs = []
+                for p in part:
+                    arr = None
+                    if cache is not None:
+                        st, hit = cache.load(p)
+                        if st == 1:
+                            arr = hit
+                        elif st != 2:
+                            arr = decode_image(p, domain, self.image_size,
+                                               on_error="none")
+                            cache.store(p, arr)
+                    else:
+                        arr = decode_image(p, domain, self.image_size,
+                                           on_error="none")
+                    if arr is None:
+                        arr = np.random.rand(
+                            self.image_size, self.image_size, 3
+                        ).astype(np.float32)
+                    arrs.append(arr)
+                chunks.append(jax.device_put(np.stack(arrs)))
+            return jnp.concatenate(chunks, axis=0) if len(chunks) > 1 \
+                else chunks[0]
+
+        self._dev_A = build(self.data_A, self.paths_A, self.domain_A,
+                            self.cache_A)
+        self._dev_B = build(self.data_B, self.paths_B, self.domain_B,
+                            self.cache_B)
+        for c in (self.cache_A, self.cache_B):
+            if c is not None:
+                c.flush()
+
+    def device_data(self):
+        """(dev_A, dev_B): the HBM-resident decoded datasets (built on
+        first use). Only valid when device_cache is enabled."""
+        if not self.device_cache:
+            raise RuntimeError("device_data() requires device_cache=True")
+        if self._dev_A is None:
+            self._build_device_dataset()
+        return self._dev_A, self._dev_B
+
+    def epoch_perms(self, shuffle: bool = True):
+        """One epoch's independent per-domain permutations (unpaired
+        shuffle semantics, ref dataset.py:24-35) as host index arrays —
+        for index-driven consumers (the scanned multi-step train program)."""
+        nA, nB = len(self.data_A), len(self.data_B)
+        if shuffle:
+            return np.random.permutation(nA), np.random.permutation(nB)
+        return np.arange(nA), np.arange(nB)
+
+    def _device_epoch(self, shuffle: bool):
+        """On-device batch gathering: per-domain permutations generated on
+        host (same unpaired-shuffle semantics as shuffle_data), batches
+        sliced out of the HBM-resident dataset — no image bytes cross the
+        host<->device boundary after the one-time build."""
+        if self._dev_A is None:
+            self._build_device_dataset()
+        import jax.numpy as jnp
+
+        nA, nB = self._dev_A.shape[0], self._dev_B.shape[0]
+        pa = np.random.permutation(nA) if shuffle else np.arange(nA)
+        pb = np.random.permutation(nB) if shuffle else np.arange(nB)
+        b = self.batch_size
+        for i in range(self.n_batches):
+            ia = jnp.asarray(pa[i * b:(i + 1) * b])
+            ib = jnp.asarray(pb[i * b:(i + 1) * b])
+            yield self._dev_A[ia], self._dev_B[ib]
+
+    def _decode_paths(self, paths, domain, cache):
+        """Decode a list of paths, reading/filling the sample cache.
+        Failed decodes are skipped (ref dataset.py:44-46) and remembered."""
+        from .preprocess import decode_image
+
+        out = [None] * len(paths)
+        missing = []
+        if cache is not None:
+            from .cache import _STATUS_OK, _STATUS_UNKNOWN
+
+            for j, p in enumerate(paths):
+                st, arr = cache.load(p)
+                if st == _STATUS_OK:
+                    out[j] = arr
+                elif st == _STATUS_UNKNOWN:
+                    missing.append(j)
+                # failed: leave None, skip without re-decoding every epoch
+        else:
+            missing = list(range(len(paths)))
+
+        if missing:
+            def work(j):
+                return j, decode_image(paths[j], domain, self.image_size,
+                                       on_error="none")
+
+            if self.workers > 1 and len(missing) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                if self._pool is None:
+                    self._pool = ThreadPoolExecutor(max_workers=self.workers)
+                results = self._pool.map(work, missing)
+            else:
+                results = map(work, missing)
+            for j, arr in results:
+                out[j] = arr
+                if cache is not None:
+                    cache.store(paths[j], arr)
+
+        images = [o for o in out if o is not None]
+        if not images:
+            raise ValueError("유효한 이미지가 없습니다.")
+        return np.stack(images)
+
+    def _decode(self, batch, is_paths: bool, domain, cache=None):
         if not is_paths:
             return np.asarray(batch, np.float32)
-        if self.workers > 1 and len(batch) > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
-            from .preprocess import decode_image
-
-            if self._pool is None:
-                self._pool = ThreadPoolExecutor(max_workers=self.workers)
-            results = list(self._pool.map(
-                lambda fn: decode_image(fn, domain, self.image_size,
-                                        on_error="none"),
-                list(batch)))
-            images = [r for r in results if r is not None]
-            if not images:
-                raise ValueError("유효한 이미지가 없습니다.")
-            return np.stack(images)
-        return read_images(list(batch), domain, self.image_size)
+        return self._decode_paths([str(p) for p in batch], domain, cache)
 
     def epoch(self, shuffle: bool = True):
         """Yield (A, B) batches; independent per-domain shuffle each epoch
         (unpaired training, ref dataset.py:24-35)."""
+        if self.device_cache:
+            return self._device_epoch(shuffle)
+        return self._host_epoch(shuffle)
+
+    def _host_epoch(self, shuffle: bool):
         da, db = (shuffle_data(self.data_A, self.data_B) if shuffle
                   else (self.data_A, self.data_B))
         n = self.n_batches
@@ -108,8 +273,10 @@ class PrefetchLoader:
                     if stop.is_set():
                         return
                     sl = slice(i * self.batch_size, (i + 1) * self.batch_size)
-                    A = self._decode(da[sl], self.paths_A, self.domain_A)
-                    B = self._decode(db[sl], self.paths_B, self.domain_B)
+                    A = self._decode(da[sl], self.paths_A, self.domain_A,
+                                     self.cache_A)
+                    B = self._decode(db[sl], self.paths_B, self.domain_B,
+                                     self.cache_B)
                     q.put((A, B))
                 q.put(None)
             except Exception as e:  # surface decode crashes to the consumer
@@ -133,3 +300,6 @@ class PrefetchLoader:
                     yield A, B
         finally:
             stop.set()
+            for c in (self.cache_A, self.cache_B):
+                if c is not None:
+                    c.flush()

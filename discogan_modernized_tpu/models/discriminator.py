@@ -69,6 +69,8 @@ def discriminator_apply(params, state, x, *, policy: Policy = F32, training: boo
             feats.append(h)
         new_states.append(st)
 
+    from ..ops.sharding import constrain_latent
+
     logits = conv2d(h, params["head"]["w"], stride=1, padding=0, policy=policy)
-    prob = sigmoid(logits.astype(jnp.float32))
+    prob = constrain_latent(sigmoid(logits.astype(jnp.float32)))
     return (prob, feats), {"trunk": new_states}

@@ -101,11 +101,14 @@ def generator_apply(params, state, x, *, policy: Policy = F32, training: bool = 
         h = leaky_relu(h, 0.2)
         new_enc_state.append(st)
 
+    from ..ops.sharding import constrain_latent
+
     h = conv2d(h, params["latent"]["w"], stride=1, padding=0, policy=policy)
+    h = constrain_latent(h)  # pin 1x1 latents under spatial sharding
     h, latent_state = batchnorm_apply(
         params["latent"]["bn"], state["latent"], h, training=training, out_dtype=cd, axis_name=axis_name
     )
-    h = leaky_relu(h, 0.2)
+    h = constrain_latent(leaky_relu(h, 0.2))
     # Tag the (tiny) 1x1 latent so remat policies can save it and
     # rematerialize the encoder and decoder halves independently
     # (train/graph.py remat_policy="latent"). No-op without a policy.

@@ -94,7 +94,23 @@ def make_gspmd_train_steps(cfg: TrainConfig, mesh, policy: Policy | None = None,
     cfg_sp = dataclasses.replace(cfg, axis_name=None)
     policy = policy or default_policy(cfg.precision)
 
-    def wrap(body):
+    def wrap(raw_body):
+        def body(ts, A, B, rate):
+            # Pin the 1x1 latent/head activations to a batch-only sharding
+            # while tracing: with the height axis sharded, the partitioner
+            # otherwise replicate-and-repartitions their backward selects
+            # ("[SPMD] Involuntary full rematerialization" warnings).
+            from ..ops.sharding import (set_latent_constraint,
+                                        reset_latent_constraint)
+
+            latent_sharding = NamedSharding(mesh, P(DATA_AXIS))
+            token = set_latent_constraint(
+                lambda x: jax.lax.with_sharding_constraint(x, latent_sharding))
+            try:
+                return raw_body(ts, A, B, rate)
+            finally:
+                reset_latent_constraint(token)
+
         def jit_with(ts):
             if spatial:
                 shardings = jax.tree.map(

@@ -171,24 +171,53 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
             print(f"모델 로드 성공: {load_path}")
 
     mesh = None
+    parallel_mode = getattr(args, "parallel_mode", "dp") or "dp"
     if distributed:
         from ..core.mesh import make_mesh
-        from ..parallel import make_dp_train_steps, replicate_train_state
 
-        world = getattr(args, "world_size", None) or jax.device_count()
-        mesh = make_mesh(int(world))
-        ts = replicate_train_state(ts, mesh, cfg)
-        gen_step, dis_step = make_dp_train_steps(cfg, mesh)
-        print(f"Data-parallel over {world} devices "
-              f"(mesh axes {dict(mesh.shape)}, bn_sync={cfg.bn_sync})")
+        world = int(getattr(args, "world_size", None) or jax.device_count())
+        if parallel_mode == "dp":
+            from ..parallel import make_dp_train_steps, replicate_train_state
+
+            mesh = make_mesh(world)
+            ts = replicate_train_state(ts, mesh, cfg)
+            gen_step, dis_step = make_dp_train_steps(cfg, mesh)
+            print(f"Data-parallel over {world} devices "
+                  f"(mesh axes {dict(mesh.shape)}, bn_sync={cfg.bn_sync})")
+        elif parallel_mode in ("gspmd", "spatial"):
+            from jax.sharding import NamedSharding, PartitionSpec
+            from ..parallel import make_gspmd_train_steps, place_train_state
+
+            tp = int(getattr(args, "tp", 0) or 0)
+            if tp <= 0:
+                tp = 2 if world % 2 == 0 and world > 1 else 1
+            if world % tp:
+                raise SystemExit(f"--tp {tp} does not divide the "
+                                 f"{world}-device mesh")
+            mesh = make_mesh(world // tp, tp)
+            if parallel_mode == "gspmd":
+                ts = place_train_state(ts, mesh)  # channel-sharded TP
+            else:  # spatial: params replicated, height sharded in-step
+                ts = jax.device_put(ts, jax.tree.map(
+                    lambda _: NamedSharding(mesh, PartitionSpec()), ts))
+            gen_step, dis_step = make_gspmd_train_steps(
+                cfg, mesh, spatial=(parallel_mode == "spatial"))
+            print(f"GSPMD {parallel_mode} over {world} devices "
+                  f"(data={world // tp}, model={tp})")
+        else:
+            raise SystemExit(
+                f"unknown --parallel_mode {parallel_mode!r} "
+                f"(dp/gspmd/spatial)")
     else:
         gen_step, dis_step = make_train_steps(cfg)
     sample_fn = make_sample_fn(cfg)
 
     dom_A, dom_B = (None, None) if angle_variant else task_domains(args.task_name)
-    loader = PrefetchLoader(data_A, data_B, args.batch_size, args.image_size,
-                            domain_A=dom_A, domain_B=dom_B,
-                            device_put=(n_proc == 1))
+    loader = PrefetchLoader(
+        data_A, data_B, args.batch_size, args.image_size,
+        domain_A=dom_A, domain_B=dom_B, device_put=(n_proc == 1),
+        device_cache=(False if getattr(args, "no_device_cache", False)
+                      else None))
     n_batches = loader.n_batches
     if n_batches == 0:
         raise SystemExit(
@@ -219,8 +248,10 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
         print(f"Saving models to: {model_path}")
 
     def single_view(ts):
-        """Single-device view of the train state for samples/checkpoints."""
-        if mesh is None:
+        """Single-device view of the train state for samples/checkpoints.
+        GSPMD states need no restructuring: their leaves are global jax
+        Arrays that np.asarray gathers transparently."""
+        if mesh is None or parallel_mode != "dp":
             return ts
         from ..parallel import unreplicate_train_state
 
@@ -280,6 +311,111 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
     start_epoch = min(start_iters // n_batches, args.epochs)
     skip_batches = start_iters - start_epoch * n_batches
     t_start = time.time()
+
+    # Fused multi-step driver: when the decoded dataset is HBM-resident
+    # (single process, no mesh), run `steps_per_call` iterations per XLA
+    # dispatch — lax.scan with on-device batch gather (train/step.py
+    # make_scan_train_step). Calls are split exactly at sample/checkpoint
+    # iterations so every cadence (and the training_log contract, which
+    # reads per-iteration losses out of the stacked result) is preserved.
+    steps_per_call = getattr(args, "steps_per_call", None)
+    scan_eligible = mesh is None and n_proc == 1 and loader.device_cache
+    if steps_per_call is None:
+        steps_per_call = 8 if scan_eligible else 1
+    if steps_per_call > 1 and scan_eligible:
+        from .step import make_scan_train_step
+
+        dev_A, dev_B = loader.device_data()
+        scan_progs: dict = {}
+
+        def scan_prog(k):
+            if k not in scan_progs:
+                scan_progs[k] = make_scan_train_step(cfg, steps=k)
+            return scan_progs[k]
+
+        def index_stream():
+            skip = skip_batches
+            for _ in range(start_epoch, args.epochs):
+                pa, pb = loader.epoch_perms()
+                bsz = args.batch_size
+                for i in range(skip, n_batches):
+                    yield (pa[i * bsz:(i + 1) * bsz],
+                           pb[i * bsz:(i + 1) * bsz])
+                skip = 0
+
+        stream = index_stream()
+        prog = tqdm(total=total_iterations - start_iters,
+                    desc="Training (scan)") if tqdm else None
+        intervals = (args.image_save_interval, args.model_save_interval)
+        while iters < total_iterations:
+            k = min(steps_per_call, total_iterations - iters)
+            for iv in intervals:
+                nxt = ((iters + iv - 1) // iv) * iv  # next snapshot iter
+                k = min(k, nxt - iters + 1)
+            ia = np.stack([next(stream) for _ in range(k)], axis=0)
+            ia, ib = ia[:, 0], ia[:, 1]
+            ts, losses = scan_prog(k)(
+                ts, dev_A, dev_B,
+                jnp.asarray(ia, jnp.int32), jnp.asarray(ib, jnp.int32),
+                jnp.int32(iters))
+            if any((iters + j) % args.log_interval == 0 for j in range(k)):
+                host = jax.device_get(losses)
+                for j in range(k):
+                    i = iters + j
+                    if i % args.log_interval != 0:
+                        continue
+                    vals = {key: float(host[key][j]) for key in host}
+                    if not all(np.isfinite(v) for v in vals.values()):
+                        print("경고: 손실에 NaN/Inf 감지 — --debug 로 첫 "
+                              "발생 지점을 추적할 수 있습니다")
+                    if logger is not None:
+                        logger.log(i, total_iterations, vals,
+                                   fm=not angle_variant)
+                    if prog:
+                        prog.set_postfix({
+                            "D_loss": f"{vals['dis_total']:.4f}",
+                            "G_loss": f"{vals['gen_total']:.4f}"})
+            iters += k
+            last = iters - 1
+            if last % args.image_save_interval == 0 and is_main:
+                new_states = dump_samples(last)
+                ts = dict(ts, model_states=new_states)
+            if last % args.model_save_interval == 0 and is_main:
+                save_reference_layout(model_path, ts, last)
+                save_train_state(model_path, ts, last,
+                                 {"task": args.task_name,
+                                  "arch": args.model_arch},
+                                 backend=getattr(args, "ckpt_backend", "npz"))
+            if prog:
+                prog.update(k)
+            if preempted["flag"]:
+                save_train_state(model_path, ts, iters,
+                                 {"task": args.task_name,
+                                  "arch": args.model_arch,
+                                  "preempted": True},
+                                 backend=getattr(args, "ckpt_backend", "npz"))
+                save_reference_layout(model_path, ts, iters)
+                print(f"SIGTERM: 학습 상태 저장 후 종료 (iter {iters}) — "
+                      f"--resume {model_path} 로 재개")
+                if old_handler is not None:
+                    signal.signal(signal.SIGTERM, old_handler)
+                return result_path, model_path
+        if prog:
+            prog.close()
+        if is_main:
+            save_reference_layout(model_path, ts, "final")
+            save_train_state(model_path, ts, iters,
+                             {"task": args.task_name, "arch": args.model_arch},
+                             backend=getattr(args, "ckpt_backend", "npz"))
+            dt = time.time() - t_start
+            if dt > 0 and iters > start_iters:
+                print(f"Throughput: "
+                      f"{(iters - start_iters) * args.batch_size / dt:.1f} "
+                      f"images/sec")
+            print(f"Training completed. Final models saved to {model_path}")
+            print(f"Results and logs saved to {result_path}")
+        return result_path, model_path
+
     for epoch in range(start_epoch, args.epochs):
         it = loader.epoch()
         steps_this_epoch = n_batches - skip_batches

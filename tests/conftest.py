@@ -22,3 +22,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Keep the decoded-sample cache out of the user's ~/.cache during tests.
+import tempfile  # noqa: E402
+
+_cache_dir = tempfile.mkdtemp(prefix="discogan_test_cache_")
+os.environ.setdefault("DISCOGAN_CACHE_DIR", _cache_dir)

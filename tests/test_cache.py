@@ -1,0 +1,160 @@
+"""Decoded-sample cache: bit-identical numerics, decode skipped on hits,
+fingerprint invalidation, failure memoization, opt-out."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from discogan_modernized_tpu.data.pipeline import PrefetchLoader
+
+
+@pytest.fixture()
+def ab_files(tmp_path):
+    rng = np.random.RandomState(7)
+    files = []
+    for i in range(12):
+        p = tmp_path / f"{i}.jpg"
+        Image.fromarray((rng.rand(64, 512, 3) * 255).astype(np.uint8)).save(p)
+        files.append(str(p))
+    return files
+
+
+@pytest.fixture()
+def cache_dir(tmp_path, monkeypatch):
+    d = tmp_path / "cache"
+    monkeypatch.setenv("DISCOGAN_CACHE_DIR", str(d))
+    return d
+
+
+def _count_decodes(monkeypatch):
+    import discogan_modernized_tpu.data.preprocess as pp
+
+    calls = {"n": 0}
+    real = pp.decode_image
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(
+        "discogan_modernized_tpu.data.pipeline.decode_image", counting,
+        raising=False)
+    import discogan_modernized_tpu.data.pipeline as pl  # noqa: F401
+    # _decode_paths imports decode_image from .preprocess at call time:
+    monkeypatch.setattr(pp, "decode_image", counting)
+    return calls
+
+
+def test_cache_hits_are_bit_identical_and_skip_decode(ab_files, cache_dir,
+                                                      monkeypatch):
+    calls = _count_decodes(monkeypatch)
+    loader = PrefetchLoader(ab_files, ab_files, batch_size=4, image_size=16,
+                            domain_A="A", domain_B="B", device_put=False)
+    epoch0 = [(
+        a.copy(), b.copy()) for a, b in loader.epoch(shuffle=False)]
+    n_after_epoch0 = calls["n"]
+    assert n_after_epoch0 == 24  # 12 per domain, each decoded once
+
+    epoch1 = [(a.copy(), b.copy()) for a, b in loader.epoch(shuffle=False)]
+    assert calls["n"] == n_after_epoch0  # zero decodes on epoch 1
+    for (a0, b0), (a1, b1) in zip(epoch0, epoch1):
+        np.testing.assert_array_equal(a0, a1)
+        np.testing.assert_array_equal(b0, b1)
+
+    # A new loader over the same dataset reuses the on-disk cache.
+    loader2 = PrefetchLoader(ab_files, ab_files, batch_size=4, image_size=16,
+                             domain_A="A", domain_B="B", device_put=False)
+    _ = list(loader2.epoch(shuffle=False))
+    assert calls["n"] == n_after_epoch0
+
+
+def test_cache_fingerprint_invalidates_on_file_change(ab_files, cache_dir,
+                                                      monkeypatch):
+    calls = _count_decodes(monkeypatch)
+    loader = PrefetchLoader(ab_files[:2], ab_files[:2], 2, 16,
+                            domain_A="A", domain_B="B", device_put=False)
+    _ = list(loader.epoch(shuffle=False))
+    base = calls["n"]
+
+    # Touch one file with different content -> new fingerprint -> re-decode.
+    rng = np.random.RandomState(99)
+    Image.fromarray((rng.rand(64, 512, 3) * 255).astype(np.uint8)) \
+        .save(ab_files[0])
+    now = time.time() + 10
+    os.utime(ab_files[0], (now, now))
+    loader2 = PrefetchLoader(ab_files[:2], ab_files[:2], 2, 16,
+                             domain_A="A", domain_B="B", device_put=False)
+    _ = list(loader2.epoch(shuffle=False))
+    assert calls["n"] > base
+
+
+def test_cache_remembers_failures(tmp_path, cache_dir, monkeypatch):
+    good = tmp_path / "good.jpg"
+    Image.fromarray((np.random.RandomState(0).rand(64, 512, 3) * 255)
+                    .astype(np.uint8)).save(good)
+    bad = tmp_path / "bad.jpg"
+    bad.write_bytes(b"junk")
+    files = [str(good), str(bad)]
+
+    calls = _count_decodes(monkeypatch)
+    loader = PrefetchLoader(files, files, batch_size=2, image_size=16,
+                            device_put=False, workers=1)
+    (A0, _), = list(loader.epoch(shuffle=False))
+    assert A0.shape[0] == 1  # bad skipped
+    n0 = calls["n"]
+    (A1, _), = list(loader.epoch(shuffle=False))
+    assert A1.shape[0] == 1
+    assert calls["n"] == n0  # failure memoized: no re-decode of bad.jpg
+    np.testing.assert_array_equal(A0, A1)
+
+
+def test_device_cache_serves_batches_without_host_decode(ab_files, cache_dir,
+                                                         monkeypatch):
+    """Device-resident dataset: one decode pass at build, then every epoch
+    gathers batches on device — no further decode_image calls, contents
+    identical to the host path."""
+    calls = _count_decodes(monkeypatch)
+    host = PrefetchLoader(ab_files, ab_files, 4, 16, domain_A="A",
+                          domain_B="B", device_put=False, device_cache=False)
+    host_batches = [(np.asarray(a), np.asarray(b))
+                    for a, b in host.epoch(shuffle=False)]
+
+    dev = PrefetchLoader(ab_files, ab_files, 4, 16, domain_A="A",
+                         domain_B="B", device_put=True, device_cache=True)
+    dev_batches = [(np.asarray(a), np.asarray(b))
+                   for a, b in dev.epoch(shuffle=False)]
+    n_after_build = calls["n"]
+    assert len(dev_batches) == len(host_batches) == 3
+    for (ha, hb), (da, db) in zip(host_batches, dev_batches):
+        np.testing.assert_array_equal(ha, da)
+        np.testing.assert_array_equal(hb, db)
+
+    _ = list(dev.epoch(shuffle=False))
+    assert calls["n"] == n_after_build  # epochs >= 1: zero host decodes
+
+
+def test_device_cache_budget_gate(ab_files, cache_dir, monkeypatch):
+    monkeypatch.setenv("DISCOGAN_DEVICE_CACHE_BUDGET", "1")  # 1 byte
+    loader = PrefetchLoader(ab_files, ab_files, 4, 16, domain_A="A",
+                            domain_B="B", device_put=True)
+    assert not loader.device_cache  # too big for the budget -> host path
+    monkeypatch.setenv("DISCOGAN_DEVICE_CACHE_BUDGET", str(10 ** 9))
+    loader2 = PrefetchLoader(ab_files, ab_files, 4, 16, domain_A="A",
+                             domain_B="B", device_put=True)
+    assert loader2.device_cache
+
+
+def test_cache_opt_out(ab_files, cache_dir, monkeypatch):
+    calls = _count_decodes(monkeypatch)
+    monkeypatch.setenv("DISCOGAN_DATA_CACHE", "0")
+    loader = PrefetchLoader(ab_files[:4], ab_files[:4], 2, 16,
+                            domain_A="A", domain_B="B", device_put=False)
+    assert loader.cache_A is None and loader.cache_B is None
+    _ = list(loader.epoch(shuffle=False))
+    n0 = calls["n"]
+    _ = list(loader.epoch(shuffle=False))
+    assert calls["n"] == 2 * n0  # every epoch re-decodes without the cache
+    assert not list(cache_dir.glob("*.dat"))

@@ -96,27 +96,45 @@ def test_gspmd_dp_tp_matches_single_device(mesh):
 
 def test_spatial_partitioning_matches_single_device(mesh):
     """Height-sharded ("sequence parallel" analog) training step equals
-    single-device; XLA inserts conv halo exchanges at shard boundaries."""
+    single-device; XLA inserts conv halo exchanges at shard boundaries.
+
+    Each branch (D update, then G update) is compared FROM THE SAME state:
+    multi-step trajectory comparison is chaotic (Adam's first-step
+    +-lr*sign(g) flips on near-zero-grad elements turn ~1e-7 reduction-
+    order rounding into visible loss divergence by step 2), while
+    same-state steps must agree tightly — and do, to ~1e-6."""
     cfg = TrainConfig(image_size=32, precision="f32")
     rng = np.random.RandomState(3)
-    A = rng.rand(4, 32, 32, 3).astype(np.float32)
-    B = rng.rand(4, 32, 32, 3).astype(np.float32)
+    A = jnp.asarray(rng.rand(4, 32, 32, 3).astype(np.float32))
+    B = jnp.asarray(rng.rand(4, 32, 32, 3).astype(np.float32))
 
-    ts1 = init_train_state(jax.random.PRNGKey(0), cfg)
     gen1, dis1 = make_train_steps(cfg, F32)
-    ts1, l1 = dis1(ts1, jnp.asarray(A), jnp.asarray(B), jnp.float32(0.01))
-    ts1, l1 = gen1(ts1, jnp.asarray(A), jnp.asarray(B), jnp.float32(0.01))
-
-    tss = init_train_state(jax.random.PRNGKey(0), cfg)
     gens, diss = make_gspmd_train_steps(cfg, mesh, F32, spatial=True)
-    tss, ls = diss(tss, jnp.asarray(A), jnp.asarray(B), jnp.float32(0.01))
-    tss, ls = gens(tss, jnp.asarray(A), jnp.asarray(B), jnp.float32(0.01))
 
-    for k in l1:
-        assert abs(float(l1[k]) - float(ls[k])) < 1e-4, k
-    diffs = np.concatenate([
-        np.abs(np.asarray(a) - np.asarray(jax.device_get(b))).ravel()
-        for a, b in zip(jax.tree.leaves(ts1["models"]),
-                        jax.tree.leaves(tss["models"]))
-    ])
-    assert float(diffs.max()) < 5e-4
+    ts = init_train_state(jax.random.PRNGKey(0), cfg)
+    for step1, steps in ((dis1, diss), (gen1, gens)):
+        host = jax.device_get(ts)
+        ts, l1 = step1(jax.tree.map(jnp.asarray, host), A, B, jnp.float32(0.01))
+        tss, ls = steps(jax.tree.map(jnp.asarray, host), A, B, jnp.float32(0.01))
+        for k in l1:
+            assert abs(float(l1[k]) - float(ls[k])) < 1e-5, k
+        diffs = np.concatenate([
+            np.abs(np.asarray(a) - np.asarray(jax.device_get(b))).ravel()
+            for a, b in zip(jax.tree.leaves(ts["models"]),
+                            jax.tree.leaves(tss["models"]))
+        ])
+        # Updated params: identical up to the Adam sign-flip quantum on
+        # the few near-zero-grad elements (<=2*lr), tiny in the mean.
+        assert float(diffs.mean()) < 2e-6
+        assert float(diffs.max()) <= 2.1 * cfg.learning_rate
+        # Raw-gradient agreement (Adam m = 0.5*g at t=1): reduction-order
+        # rounding only — guards against the constraint-VJP gradient
+        # corruption this test originally caught (0.2-level diffs).
+        mdiffs = np.concatenate([
+            np.abs(np.asarray(a) - np.asarray(jax.device_get(b))).ravel()
+            for a, b in zip(jax.tree.leaves(ts["opt_gen"]["m"])
+                            + jax.tree.leaves(ts["opt_dis"]["m"]),
+                            jax.tree.leaves(tss["opt_gen"]["m"])
+                            + jax.tree.leaves(tss["opt_dis"]["m"]))
+        ])
+        assert float(mdiffs.max()) < 2e-3

@@ -1,0 +1,92 @@
+"""Fused multi-step train program (make_scan_train_step): per-step
+equivalence to the two cached jitted programs, G/D alternation and
+curriculum handled inside the scan."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import jax
+    import jax.numpy as jnp
+
+    from discogan_modernized_tpu.train.step import (
+        TrainConfig, init_train_state, make_train_steps)
+
+    cfg = TrainConfig(image_size=16, model_arch="discogan", precision="f32",
+                      gan_curriculum=4, update_interval=3)
+    rng = np.random.RandomState(0)
+    data_A = jnp.asarray(rng.rand(24, 16, 16, 3), jnp.float32)
+    data_B = jnp.asarray(rng.rand(24, 16, 16, 3), jnp.float32)
+    idx_A = rng.randint(0, 24, size=(6, 4)).astype(np.int32)
+    idx_B = rng.randint(0, 24, size=(6, 4)).astype(np.int32)
+    return cfg, data_A, data_B, idx_A, idx_B
+
+
+def test_scan_matches_per_step_trajectory(setup):
+    import jax
+    import jax.numpy as jnp
+
+    from discogan_modernized_tpu.train.step import (
+        init_train_state, make_train_steps, make_scan_train_step)
+
+    cfg, data_A, data_B, idx_A, idx_B = setup
+    K = idx_A.shape[0]
+
+    ts1 = init_train_state(jax.random.PRNGKey(0), cfg)
+    ts2 = jax.tree.map(lambda x: x.copy(), ts1)
+
+    gen_step, dis_step = make_train_steps(cfg)
+    ref_losses = []
+    for j in range(K):
+        A = data_A[idx_A[j]]
+        B = data_B[idx_B[j]]
+        step = dis_step if cfg.is_dis_iter(j) else gen_step
+        ts1, l = step(ts1, A, B, jnp.float32(cfg.rate_for(j)))
+        ref_losses.append({k: float(v) for k, v in l.items()})
+
+    multi = make_scan_train_step(cfg, steps=K)
+    ts2, L = multi(ts2, data_A, data_B, jnp.asarray(idx_A),
+                   jnp.asarray(idx_B), jnp.int32(0))
+
+    # Covers both branch types (iters 0,3 are D; others G), the curriculum
+    # boundary at 4, and the gather. Tolerance allows compounding f32
+    # reassociation between the fused and per-step compilations.
+    for j in range(K):
+        for k in ref_losses[j]:
+            assert float(L[k][j]) == pytest.approx(ref_losses[j][k],
+                                                   rel=2e-3, abs=2e-4), (j, k)
+    for a, b in zip(jax.tree.leaves(ts1["models"]),
+                    jax.tree.leaves(ts2["models"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_scan_resumes_mid_schedule(setup):
+    """iters0 offsets alternation and curriculum identically to host-side
+    scheduling (resume / call-boundary correctness)."""
+    import jax
+    import jax.numpy as jnp
+
+    from discogan_modernized_tpu.train.step import (
+        init_train_state, make_train_steps, make_scan_train_step)
+
+    cfg, data_A, data_B, idx_A, idx_B = setup
+    start = 5  # mid-schedule: not a D iter, past the curriculum boundary
+    K = 3
+
+    ts1 = init_train_state(jax.random.PRNGKey(1), cfg)
+    ts2 = jax.tree.map(lambda x: x.copy(), ts1)
+    gen_step, dis_step = make_train_steps(cfg)
+    for j in range(start, start + K):
+        A = data_A[idx_A[j - start]]
+        B = data_B[idx_B[j - start]]
+        step = dis_step if cfg.is_dis_iter(j) else gen_step
+        ts1, _ = step(ts1, A, B, jnp.float32(cfg.rate_for(j)))
+
+    multi = make_scan_train_step(cfg, steps=K)
+    ts2, _ = multi(ts2, data_A, data_B, jnp.asarray(idx_A[:K]),
+                   jnp.asarray(idx_B[:K]), jnp.int32(start))
+    for a, b in zip(jax.tree.leaves(ts1["models"]),
+                    jax.tree.leaves(ts2["models"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
