@@ -249,8 +249,21 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
 
     def single_view(ts):
         """Single-device view of the train state for samples/checkpoints.
-        GSPMD states need no restructuring: their leaves are global jax
-        Arrays that np.asarray gathers transparently."""
+
+        Multi-host: the view is assembled from PROCESS-LOCAL shards only
+        (addressable_data) — a process-0-only jitted computation over the
+        global mesh would be an SPMD program the other hosts never join,
+        i.e. a cross-host collective mismatch (the reference's analog is
+        rank 0 reading its own replica's .module state_dict,
+        distributed_image_translation.py:552-568). Models/optimizer are
+        replicated so the local copy IS the global value; in local-BN
+        mode process 0's first shard is replica 0's stats, matching the
+        single-host rank-0 checkpoint semantics. Single-host GSPMD states
+        need no restructuring (np.asarray gathers transparently)."""
+        if n_proc > 1:
+            ts = jax.tree.map(
+                lambda a: np.asarray(a.addressable_data(0))
+                if hasattr(a, "addressable_data") else np.asarray(a), ts)
         if mesh is None or parallel_mode != "dp":
             return ts
         from ..parallel import unreplicate_train_state
