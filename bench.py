@@ -233,10 +233,18 @@ def measure_train_with_decode(image_size: int, batch: int,
         shutil.rmtree(cache_dir, ignore_errors=True)
 
 
-def measure_inference_p50(image_size: int = 64, n: int = 30) -> float:
-    """p50 single-image generator latency (ms), steady state."""
+def measure_inference_p50(image_size: int = 64, n: int = 30) -> dict:
+    """Single-image generator inference latency (ms), steady state.
+
+    Returns {"on_chip_ms", "round_trip_p50_ms"}. The round-trip number is
+    dominated by the dev tunnel (~28 ms dispatch+sync); the on-chip number
+    chains generator invocations inside one jitted lax.scan (each feeding
+    its output back in, a true dependency chain) and differences two chain
+    lengths — constant dispatch/sync overhead cancels, leaving pure
+    per-image device time."""
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from discogan_modernized_tpu.core.precision import default_policy
     from discogan_modernized_tpu.models import generator_init, generator_apply
@@ -257,7 +265,34 @@ def measure_inference_p50(image_size: int = 64, n: int = 30) -> float:
         t0 = time.perf_counter()
         _ = np.asarray(translate(params, state, x)[0, 0, 0, 0])
         samples.append(time.perf_counter() - t0)
-    return sorted(samples)[n // 2] * 1000
+    round_trip = sorted(samples)[n // 2] * 1000
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def chain(params, state, x, length):
+        def body(h, _):
+            y, _ = generator_apply(params, state, h, policy=policy,
+                                   training=False)
+            return y, ()
+
+        y, _ = lax.scan(body, x, None, length=length)
+        return y
+
+    def timed(length, reps=5):
+        _ = float(chain(params, state, x, length)[0, 0, 0, 0])  # compile
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _ = float(chain(params, state, x, length)[0, 0, 0, 0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # Chain lengths sized so the length delta dominates tunnel noise
+    # (~1 ms): the 64px b=1 forward is sub-100us on chip.
+    n1, n2 = (10, 110) if image_size >= 256 else (100, 2100)
+    on_chip = (timed(n2) - timed(n1)) / (n2 - n1) * 1000
+    return {"on_chip_ms": on_chip, "round_trip_p50_ms": round_trip}
 
 
 def main(full: bool = False):
@@ -296,8 +331,15 @@ def main(full: bool = False):
             "vs_a100_est": round(
                 v512 / (A100_PEAK * A100_ASSUMED_MFU / step_flops(512)), 3),
         }
+        inf = measure_inference_p50(64)
         detail["inference_p50_64px"] = {
-            "value": round(measure_inference_p50(64), 2), "unit": "ms"}
+            "on_chip_ms": round(inf["on_chip_ms"], 3),
+            "round_trip_p50_ms": round(inf["round_trip_p50_ms"], 2),
+            "unit": "ms",
+            "note": "on_chip = chained-scan differencing (dispatch/sync "
+                    "overhead cancels); round_trip includes the dev "
+                    "tunnel's ~28 ms dispatch+sync",
+        }
         dec = measure_train_with_decode(64, 64)
         detail["train_64px_b64_with_real_decode"] = {
             "cold_first_epoch": round(dec["cold"], 1),
