@@ -16,6 +16,7 @@ fan_in = in_ch*k*k for Conv2d and (quirk) out_ch*k*k for ConvTranspose2d
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -75,10 +76,20 @@ def conv2d(x, w, *, stride: int, padding: int, policy=None):
 def conv_transpose2d(x, w, *, stride: int, padding: int, policy=None):
     """Transposed 2D convolution matching torch ConvTranspose2d(k,s,p, bias=False).
 
-    Implemented as the standard fractionally-strided convolution: dilate the
-    input by `stride`, pad by k-1-p, convolve with the spatially-flipped
-    kernel. w is stored HWIO with I = the transposed op's input channels
-    (torch convT weight (I,O,k,k) maps to HWIO via transpose(2,3,0,1)).
+    w is stored HWIO with I = the transposed op's input channels (torch
+    convT weight (I,O,k,k) maps to HWIO via transpose(2,3,0,1)).
+
+    The NARROW k=4/s=2/p=1 "doubling" layers (the final convT to 3 RGB
+    channels) use a subpixel decomposition instead of the textbook
+    zero-dilated convolution: each output-parity class (a,b) of
+    y[2i+a, 2j+b] depends on exactly a 2x2 input window through a fixed
+    2x2 slice of the kernel, so the whole op is ONE dense k=2/s=1 conv to
+    4*O channels followed by a depth-to-space interleave. Interleaved A/B
+    on v5e (PERF.md): 2.3x on the 64->3 output layer — whose degenerate
+    3-lane output made it the single worst layer at ~9x over roofline —
+    but a LOSS on wide layers (the depth-to-space relayout costs an extra
+    HBM pass while XLA's dilated emitter handles wide outputs well), so
+    it is gated to out_ch <= 16. DISCOGAN_SUBPIXEL=0 disables.
     """
     if policy is not None:
         x = x.astype(policy.compute_dtype)
@@ -86,6 +97,9 @@ def conv_transpose2d(x, w, *, stride: int, padding: int, policy=None):
     else:
         w = w.astype(x.dtype)
     k = w.shape[0]
+    if (k == 4 and stride == 2 and padding == 1 and w.shape[-1] <= 16
+            and os.environ.get("DISCOGAN_SUBPIXEL", "1") != "0"):
+        return _conv_transpose_subpixel(x, w)
     pad = k - 1 - padding
     w_flipped = w[::-1, ::-1, :, :]
     return lax.conv_general_dilated(
@@ -97,3 +111,37 @@ def conv_transpose2d(x, w, *, stride: int, padding: int, policy=None):
         dimension_numbers=DIMENSION_NUMBERS,
         precision=_conv_precision(x),
     )
+
+
+def _conv_transpose_subpixel(x, w):
+    """convT(k=4, s=2, p=1) as one k=2 VALID conv + depth-to-space.
+
+    Derivation (1D, per axis; wf = spatially flipped kernel, xd = stride-2
+    zero-dilated input padded by k-1-p=2): y[m] = sum_t wf[t]*xd[m+t-2]
+    with xd nonzero only at even positions. For m=2i+a the parity forces
+    t = a (mod 2), leaving exactly two taps:
+        y[2i]   = wf[0]*x[i-1] + wf[2]*x[i]
+        y[2i+1] = wf[1]*x[i]   + wf[3]*x[i+1]
+    i.e. class a reads window (x[i-1+a], x[i+a]) with taps wf[a::2]. Pad x
+    by 1 on both sides, run a single VALID k=2 conv whose output channels
+    stack the four (a,b) tap-slices, and take class (a,b)'s map shifted by
+    (a,b). Exact to reordering of the same products.
+    """
+    n, h, wd, _ = x.shape
+    o = w.shape[-1]
+    wf = w[::-1, ::-1, :, :]
+    # (2,2,I,4O): class (a,b) occupies output channels [idx*O, (idx+1)*O).
+    wbig = jnp.concatenate(
+        [wf[a::2, b::2, :, :] for a in (0, 1) for b in (0, 1)], axis=-1)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = lax.conv_general_dilated(
+        xp, wbig, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=DIMENSION_NUMBERS, precision=_conv_precision(x),
+    )  # (N, H+1, W+1, 4O)
+    # Interleave: y[2i+a, 2j+b] = out[i+a, j+b, class(a,b)].
+    classes = [out[:, a:h + a, b:wd + b, i * o:(i + 1) * o]
+               for i, (a, b) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1)))]
+    z = jnp.stack(classes, axis=3)  # (N, H, W, 4, O)
+    z = z.reshape(n, h, wd, 2, 2, o)          # (N,H,W,a,b,O)
+    z = z.transpose(0, 1, 3, 2, 4, 5)          # (N,H,a,W,b,O)
+    return z.reshape(n, 2 * h, 2 * wd, o)
