@@ -127,6 +127,22 @@ def add_common_flags(parser: argparse.ArgumentParser, *, task_default: str,
                         choices=['on', 'off'],
                         help='Activation rematerialization (default: auto, '
                              'on for image_size >= 256)')
+    parser.add_argument('--remat_policy', type=str, default=None,
+                        choices=['full', 'latent', 'conv'],
+                        help='(extension) remat granularity: full = save '
+                             'only network boundaries (backward re-runs the '
+                             'forward), latent = also save the 1x1 latents, '
+                             'conv = save every conv output so the backward '
+                             'recomputes only elementwise chains (fastest '
+                             'at 512px if it fits HBM; PERF.md)')
+    parser.add_argument('--profile', type=str, default=None, metavar='DIR',
+                        help='(extension) capture a jax.profiler trace of a '
+                             'short window of training iterations to DIR '
+                             '(view with tensorboard/xprof). The TPU-native '
+                             'answer to the reference\'s out-of-process '
+                             'nvidia-smi sampling (SURVEY.md §5); on '
+                             'backends without trace support it degrades '
+                             'to a warning')
     parser.add_argument('--resume', type=str, default=None,
                         help='(extension) model dir with a full train-state '
                              'checkpoint — resumes optimizer/iteration state '

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..core.precision import Policy, F32
 from ..ops.conv import conv2d, conv_init
@@ -57,6 +58,9 @@ def discriminator_apply(params, state, x, *, policy: Policy = F32, training: boo
     new_states = []
     for i, layer in enumerate(params["trunk"]):
         h = conv2d(h, layer["w"], stride=2, padding=1, policy=policy)
+        # remat_policy="conv" saves conv outputs; backward recomputes only
+        # the elementwise BN/activation chains (train/graph.py).
+        h = checkpoint_name(h, "conv_out")
         if "bn" in layer:
             h, st = batchnorm_apply(
                 layer["bn"], state["trunk"][i], h, training=training, out_dtype=cd, axis_name=axis_name

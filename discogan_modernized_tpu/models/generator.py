@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..core.precision import Policy, F32
 from ..ops.conv import conv2d, conv_transpose2d, conv_init, conv_transpose_init
@@ -91,6 +92,10 @@ def generator_apply(params, state, x, *, policy: Policy = F32, training: bool = 
     new_enc_state = []
     for i, layer in enumerate(params["encoder"]):
         h = conv2d(h, layer["w"], stride=2, padding=1, policy=policy)
+        # Tag so remat_policy="conv" saves conv outputs and the backward
+        # recomputes only the cheap elementwise BN/activation chains
+        # instead of re-running every convolution (train/graph.py).
+        h = checkpoint_name(h, "conv_out")
         if "bn" in layer:
             h, st = batchnorm_apply(
                 layer["bn"], state["encoder"][i], h, training=training, out_dtype=cd, axis_name=axis_name
@@ -104,16 +109,18 @@ def generator_apply(params, state, x, *, policy: Policy = F32, training: bool = 
     from ..ops.sharding import constrain_latent
 
     h = conv2d(h, params["latent"]["w"], stride=1, padding=0, policy=policy)
+    h = checkpoint_name(h, "conv_out")
     h = constrain_latent(h)  # pin 1x1 latents under spatial sharding
     h, latent_state = batchnorm_apply(
         params["latent"]["bn"], state["latent"], h, training=training, out_dtype=cd, axis_name=axis_name
     )
+    # Pin the BN output too: LeakyReLU's backward select otherwise gets an
+    # H-sharded layout under spatial partitioning (see parallel/gspmd.py).
+    h = constrain_latent(h)
     h = constrain_latent(leaky_relu(h, 0.2))
     # Tag the (tiny) 1x1 latent so remat policies can save it and
     # rematerialize the encoder and decoder halves independently
     # (train/graph.py remat_policy="latent"). No-op without a policy.
-    from jax.ad_checkpoint import checkpoint_name
-
     h = checkpoint_name(h, "gen_latent")
 
     new_dec_state = []
@@ -122,6 +129,7 @@ def generator_apply(params, state, x, *, policy: Policy = F32, training: bool = 
         stride = 1 if i == 0 else 2
         padding = 0 if i == 0 else 1
         h = conv_transpose2d(h, layer["w"], stride=stride, padding=padding, policy=policy)
+        h = checkpoint_name(h, "conv_out")
         if "bn" in layer:
             h, st = batchnorm_apply(
                 layer["bn"], state["decoder"][i], h, training=training, out_dtype=cd, axis_name=axis_name

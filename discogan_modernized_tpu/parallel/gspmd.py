@@ -96,16 +96,30 @@ def make_gspmd_train_steps(cfg: TrainConfig, mesh, policy: Policy | None = None,
 
     def wrap(raw_body):
         def body(ts, A, B, rate):
-            # Pin the 1x1 latent/head activations to a batch-only sharding
-            # while tracing: with the height axis sharded, the partitioner
-            # otherwise replicate-and-repartitions their backward selects
-            # ("[SPMD] Involuntary full rematerialization" warnings).
+            # Pin the 1x1 latent/head activations while tracing: with the
+            # height axis sharded the partitioner otherwise flip-flops
+            # their layout and replicate-and-repartitions the backward
+            # selects ("[SPMD] Involuntary full rematerialization").
+            # Layout choice matters: spatial mode pins CHANNELS on the
+            # model axis (the 100-ch latent divides; channel-contracted
+            # convs partition natively, so no forced reshard and the
+            # warning tail is clean), falling back to batch-only where
+            # channels don't divide (the 1-ch head). A fully REPLICATED
+            # pin is NOT safe — it reproduces the measured 0.2-level
+            # gradient corruption test_gspmd's m-gate guards against.
             from ..ops.sharding import (set_latent_constraint,
                                         reset_latent_constraint)
 
-            latent_sharding = NamedSharding(mesh, P(DATA_AXIS))
-            token = set_latent_constraint(
-                lambda x: jax.lax.with_sharding_constraint(x, latent_sharding))
+            tp = mesh.shape[MODEL_AXIS]
+
+            def pin(x):
+                spec = (P(DATA_AXIS, None, None, MODEL_AXIS)
+                        if spatial and x.shape[-1] % tp == 0
+                        else P(DATA_AXIS))
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, spec))
+
+            token = set_latent_constraint(pin)
             try:
                 return raw_body(ts, A, B, rate)
             finally:

@@ -49,6 +49,35 @@ def _unstack_pair(tree):
             jax.tree.map(lambda a: a[1], tree))
 
 
+def _checkpoint_policies(remat_policy: str | None):
+    """(generator, discriminator) jax.checkpoint policies per granularity.
+
+    None     — save only network inputs/outputs; the backward re-runs the
+               full forward (max memory saving, ~1 extra forward of FLOPs).
+    "latent" — additionally save the generators' tiny 1x1 latents so the
+               encoder/decoder halves rematerialize independently.
+    "conv"   — save every convolution output (checkpoint_name "conv_out"
+               in models/); the backward recomputes only the elementwise
+               BN/activation chains, never a convolution. Roughly 1/3 the
+               activation memory of no-remat at zero conv recompute — the
+               512px sweet spot (PERF.md).
+    """
+    import jax
+
+    if remat_policy == "conv":
+        pol = jax.checkpoint_policies.save_only_these_names(
+            "conv_out", "gen_latent")
+        return pol, pol
+    if remat_policy == "latent":
+        return (jax.checkpoint_policies.save_only_these_names("gen_latent"),
+                None)
+    if remat_policy not in (None, "full"):
+        raise ValueError(
+            f"remat_policy must be one of None/'full'/'latent'/'conv', "
+            f"got {remat_policy!r}")
+    return None, None
+
+
 def discogan_losses_paired(models, model_states, A, B, *, policy: Policy = F32,
                            skip_first_fm: bool = False,
                            axis_name: str | None = None, remat: bool = False,
@@ -78,8 +107,9 @@ def discogan_losses_paired(models, model_states, A, B, *, policy: Policy = F32,
     g_pair = jax.vmap(g_one)
     d_pair = jax.vmap(d_one)
     if remat:
-        g_pair = jax.checkpoint(g_pair)
-        d_pair = jax.checkpoint(d_pair)
+        g_policy, d_policy = _checkpoint_policies(remat_policy)
+        g_pair = jax.checkpoint(g_pair, policy=g_policy)
+        d_pair = jax.checkpoint(d_pair, policy=d_policy)
 
     gBA_params = _stack_pair(models["gen_B"], models["gen_A"])
     dAB_params = _stack_pair(models["dis_A"], models["dis_B"])
@@ -164,12 +194,9 @@ def discogan_losses(models, model_states, A, B, *, policy: Policy = F32,
         return discriminator_apply(p, s, x, **kw)
 
     if remat:
-        ckpt_policy = None
-        if remat_policy == "latent":
-            ckpt_policy = jax.checkpoint_policies.save_only_these_names(
-                "gen_latent")
-        g_apply = jax.checkpoint(g_apply, policy=ckpt_policy)
-        d_apply = jax.checkpoint(d_apply)
+        g_policy, d_policy = _checkpoint_policies(remat_policy)
+        g_apply = jax.checkpoint(g_apply, policy=g_policy)
+        d_apply = jax.checkpoint(d_apply, policy=d_policy)
 
     AB, gb_s1 = g_apply(models["gen_B"], model_states["gen_B"], A)
     BA, ga_s1 = g_apply(models["gen_A"], model_states["gen_A"], B)

@@ -82,6 +82,9 @@ def config_from_args(args, angle_variant: bool) -> TrainConfig:
         bn_sync=bool(getattr(args, "bn_sync", False)),
         paired=bool(getattr(args, "paired", False)),
         remat={"on": True, "off": False, None: None}[getattr(args, "remat", None)],
+        remat_policy={"full": None}.get(
+            getattr(args, "remat_policy", None),
+            getattr(args, "remat_policy", None)),
     )
 
 
@@ -325,6 +328,14 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
     skip_batches = start_iters - start_epoch * n_batches
     t_start = time.time()
 
+    # --profile DIR: capture a bounded jax.profiler trace window of the
+    # hot loop (the reference's only profiling is out-of-process
+    # nvidia-smi sampling — SURVEY §5).
+    from .profiling import ProfileWindow
+
+    profiler = ProfileWindow(getattr(args, "profile", None)
+                             if is_main else None)
+
     # Fused multi-step driver: when the decoded dataset is HBM-resident
     # (single process, no mesh), run `steps_per_call` iterations per XLA
     # dispatch — lax.scan with on-device batch gather (train/step.py
@@ -361,6 +372,7 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
                     desc="Training (scan)") if tqdm else None
         intervals = (args.image_save_interval, args.model_save_interval)
         while iters < total_iterations:
+            profiler.tick(iters)
             k = min(steps_per_call, total_iterations - iters)
             for iv in intervals:
                 nxt = ((iters + iv - 1) // iv) * iv  # next snapshot iter
@@ -412,9 +424,11 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
                       f"--resume {model_path} 로 재개")
                 if old_handler is not None:
                     signal.signal(signal.SIGTERM, old_handler)
+                profiler.stop()
                 return result_path, model_path
         if prog:
             prog.close()
+        profiler.stop()
         if is_main:
             save_reference_layout(model_path, ts, "final")
             save_train_state(model_path, ts, iters,
@@ -443,6 +457,7 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
             A, B = to_global(A), to_global(B)
             rate = jnp.float32(cfg.rate_for(iters))
             step = dis_step if cfg.is_dis_iter(iters) else gen_step
+            profiler.tick(iters)
             ts, losses = step(ts, A, B, rate)
 
             if iters % args.log_interval == 0:
@@ -481,8 +496,10 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
                       f"--resume {model_path} 로 재개")
                 if old_handler is not None:
                     signal.signal(signal.SIGTERM, old_handler)
+                profiler.stop()
                 return result_path, model_path
 
+    profiler.stop()
     if is_main:
         view = single_view(ts)
         save_reference_layout(model_path, view, "final")

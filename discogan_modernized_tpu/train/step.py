@@ -63,7 +63,9 @@ class TrainConfig:
     # ~8GB of params/Adam state exceed a 16GB v5e chip).
     remat: bool | None = None
     # remat granularity: None = full-network; "latent" = save the tiny 1x1
-    # generator latents so encoder/decoder halves rematerialize separately.
+    # generator latents so encoder/decoder halves rematerialize separately;
+    # "conv" = save every conv output so the backward recomputes only the
+    # elementwise BN/activation chains (see train/graph._checkpoint_policies).
     remat_policy: str | None = None
 
     # Fuse each A-side/B-side forward pair into one vmapped (grouped-conv)

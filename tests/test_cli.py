@@ -239,3 +239,13 @@ def test_batch_larger_than_dataset_fails_fast(tmp_path):
             f"--results_dir={tmp_path}/r", f"--models_dir={tmp_path}/m",
             "--precision=f32",
         ])
+
+
+def test_profile_trace_capture(tmp_path):
+    """--profile captures a jax.profiler trace window during training
+    (SURVEY §5: the reference's only profiling is nvidia-smi sampling)."""
+    _run_translation(tmp_path, extra=[f"--profile={tmp_path}/trace"])
+    trace_dir = Path(tmp_path / "trace")
+    # CPU backend supports trace capture: plugins/profile/<ts>/*.pb etc.
+    files = list(trace_dir.rglob("*")) if trace_dir.exists() else []
+    assert any(f.is_file() for f in files), files

@@ -39,14 +39,15 @@ def test_remat_auto_threshold():
     assert TrainConfig(image_size=512, remat=False).use_remat is False
 
 
-def test_latent_remat_policy_equals_plain():
-    """remat_policy='latent' only changes what is stored vs recomputed."""
+def test_remat_policies_equal_plain():
+    """Granularity policies ('latent', 'conv') only change what is stored
+    vs recomputed — losses and updated params must be bit-comparable."""
     data = np.random.RandomState(2)
     A = jnp.asarray(data.rand(2, 16, 16, 3).astype(np.float32))
     B = jnp.asarray(data.rand(2, 16, 16, 3).astype(np.float32))
 
     results = {}
-    for pol in (None, "latent"):
+    for pol in (None, "latent", "conv"):
         cfg = TrainConfig(image_size=16, precision="f32", remat=True,
                           remat_policy=pol)
         ts = init_train_state(jax.random.PRNGKey(3), cfg)
@@ -56,8 +57,9 @@ def test_latent_remat_policy_equals_plain():
         results[pol] = ({k: float(v) for k, v in losses.items()},
                         jax.tree.leaves(ts["models"]))
 
-    for k in results[None][0]:
-        assert abs(results[None][0][k] - results["latent"][0][k]) < 1e-6, k
-    for a, b in zip(results[None][1], results["latent"][1]):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=1e-6, rtol=1e-6)
+    for pol in ("latent", "conv"):
+        for k in results[None][0]:
+            assert abs(results[None][0][k] - results[pol][0][k]) < 1e-6, (pol, k)
+        for a, b in zip(results[None][1], results[pol][1]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, rtol=1e-6)
