@@ -79,6 +79,45 @@ A100_PEAK = 312e12
 A100_ASSUMED_MFU = 0.35
 
 
+def measure_train_per_step(image_size: int, batch: int, n_steps: int = 30,
+                           warmup: int = 4) -> float:
+    """Per-step (two-program) train throughput — the path the CLI falls
+    back to when the fused-scan program exceeds the backend's compile
+    limits (observed: 512px b32 scan fails to compile through the dev
+    compile helper while the single-step programs build fine, PERF.md).
+    Dispatches are async, so timing N pipelined steps and syncing once on
+    a chain-dependent scalar still measures device time."""
+    import jax
+    import jax.numpy as jnp
+
+    from discogan_modernized_tpu.train import (
+        TrainConfig,
+        init_train_state,
+        make_train_steps,
+    )
+
+    cfg = TrainConfig(image_size=image_size, model_arch="discogan")
+    ts = init_train_state(jax.random.PRNGKey(0), cfg)
+    gen_step, dis_step = make_train_steps(cfg)
+    rng = np.random.RandomState(0)
+    A = jnp.asarray(rng.rand(batch, image_size, image_size, 3), jnp.float32)
+    B = jnp.asarray(rng.rand(batch, image_size, image_size, 3), jnp.float32)
+
+    def run(ts, it0, n):
+        losses = None
+        for j in range(it0, it0 + n):
+            step = dis_step if cfg.is_dis_iter(j) else gen_step
+            ts, losses = step(ts, A, B, jnp.float32(cfg.rate_for(j)))
+        _ = float(losses["gen_total"])
+        _ = float(jax.tree.leaves(ts["models"]["gen_B"])[0].ravel()[0])
+        return ts
+
+    ts = run(ts, 0, warmup)
+    t0 = time.perf_counter()
+    run(ts, warmup, n_steps)
+    return batch * n_steps / (time.perf_counter() - t0)
+
+
 def measure_train(image_size: int, batch: int, n_steps: int = 150,
                   warmup: int = 6, steps_per_call: int | None = None,
                   n_data: int | None = None) -> float:
@@ -86,7 +125,9 @@ def measure_train(image_size: int, batch: int, n_steps: int = 150,
     through the production path: HBM-resident dataset + the fused
     multi-step scan program (train/step.py make_scan_train_step) — one
     dispatch and an on-device batch gather per `steps_per_call` iterations,
-    exactly what the CLI trainer runs when the dataset fits HBM."""
+    exactly what the CLI trainer runs when the dataset fits HBM. Falls
+    back to the per-step path when the scan program fails to compile
+    (mirrors the trainer's own fallback)."""
     import jax
     import jax.numpy as jnp
 
@@ -124,7 +165,17 @@ def measure_train(image_size: int, batch: int, n_steps: int = 150,
         _ = float(jax.tree.leaves(ts["models"]["gen_B"])[0].ravel()[0])
         return ts
 
-    ts = run(ts, warmup)
+    try:
+        ts = run(ts, warmup)
+    except Exception as e:
+        import sys
+
+        print(f"# scan program compile failed ({type(e).__name__}); "
+              f"falling back to per-step measurement",
+              file=sys.stderr, flush=True)
+        return measure_train_per_step(image_size, batch,
+                                      n_steps=max(10, n_steps // 5),
+                                      warmup=max(2, warmup // 2))
     t0 = time.perf_counter()
     run(ts, n_steps, it0=warmup)
     return batch * n_steps / (time.perf_counter() - t0)

@@ -371,6 +371,7 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
         prog = tqdm(total=total_iterations - start_iters,
                     desc="Training (scan)") if tqdm else None
         intervals = (args.image_save_interval, args.model_save_interval)
+        scan_failed = False
         while iters < total_iterations:
             profiler.tick(iters)
             k = min(steps_per_call, total_iterations - iters)
@@ -379,10 +380,27 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
                 k = min(k, nxt - iters + 1)
             ia = np.stack([next(stream) for _ in range(k)], axis=0)
             ia, ib = ia[:, 0], ia[:, 1]
-            ts, losses = scan_prog(k)(
-                ts, dev_A, dev_B,
-                jnp.asarray(ia, jnp.int32), jnp.asarray(ib, jnp.int32),
-                jnp.int32(iters))
+            try:
+                ts, losses = scan_prog(k)(
+                    ts, dev_A, dev_B,
+                    jnp.asarray(ia, jnp.int32), jnp.asarray(ib, jnp.int32),
+                    jnp.int32(iters))
+            except Exception as e:
+                # Backend compile limits: the fused-scan program at large
+                # image sizes/batches can exceed what the compiler service
+                # accepts (observed: 512px b32 fails while b8 compiles —
+                # PERF.md). Before any step ran, fall back to the
+                # per-step path; donated buffers are untouched on a
+                # compile failure, so the train state is still valid.
+                if iters == start_iters:
+                    print(f"경고: 다단계 scan 프로그램 컴파일 실패 — "
+                          f"단일 스텝 경로로 폴백합니다 "
+                          f"({type(e).__name__}: {str(e)[:120]})")
+                    scan_failed = True
+                    if prog:
+                        prog.close()
+                    break
+                raise
             if any((iters + j) % args.log_interval == 0 for j in range(k)):
                 host = jax.device_get(losses)
                 for j in range(k):
@@ -426,22 +444,25 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
                     signal.signal(signal.SIGTERM, old_handler)
                 profiler.stop()
                 return result_path, model_path
-        if prog:
-            prog.close()
-        profiler.stop()
-        if is_main:
-            save_reference_layout(model_path, ts, "final")
-            save_train_state(model_path, ts, iters,
-                             {"task": args.task_name, "arch": args.model_arch},
-                             backend=getattr(args, "ckpt_backend", "npz"))
-            dt = time.time() - t_start
-            if dt > 0 and iters > start_iters:
-                print(f"Throughput: "
-                      f"{(iters - start_iters) * args.batch_size / dt:.1f} "
-                      f"images/sec")
-            print(f"Training completed. Final models saved to {model_path}")
-            print(f"Results and logs saved to {result_path}")
-        return result_path, model_path
+        if not scan_failed:
+            if prog:
+                prog.close()
+            profiler.stop()
+            if is_main:
+                save_reference_layout(model_path, ts, "final")
+                save_train_state(model_path, ts, iters,
+                                 {"task": args.task_name,
+                                  "arch": args.model_arch},
+                                 backend=getattr(args, "ckpt_backend", "npz"))
+                dt = time.time() - t_start
+                if dt > 0 and iters > start_iters:
+                    print(f"Throughput: "
+                          f"{(iters - start_iters) * args.batch_size / dt:.1f} "
+                          f"images/sec")
+                print(f"Training completed. Final models saved to {model_path}")
+                print(f"Results and logs saved to {result_path}")
+            return result_path, model_path
+        # scan compile failed: continue into the per-step loop below.
 
     for epoch in range(start_epoch, args.epochs):
         it = loader.epoch()

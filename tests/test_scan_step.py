@@ -90,3 +90,30 @@ def test_scan_resumes_mid_schedule(setup):
     for a, b in zip(jax.tree.leaves(ts1["models"]),
                     jax.tree.leaves(ts2["models"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_scan_compile_failure_falls_back_to_per_step(tmp_path, monkeypatch):
+    """If the fused-scan program fails to compile (observed on the dev
+    backend at 512px b32 — PERF.md), the trainer must fall back to the
+    per-step path and complete normally instead of crashing."""
+    import discogan_modernized_tpu.train.step as step_mod
+
+    def broken_scan(cfg, steps):
+        def fail(*a, **k):
+            raise RuntimeError("simulated compile failure")
+        return fail
+
+    monkeypatch.setattr(step_mod, "make_scan_train_step", broken_scan)
+
+    from discogan_modernized_tpu.cli.image_translation import main
+
+    result_path, model_path = main([
+        "--task_name=synthetic", "--model_arch=gan", "--image_size=16",
+        "--batch_size=8", "--epochs=1", "--log_interval=10",
+        "--image_save_interval=50", "--model_save_interval=50",
+        f"--results_dir={tmp_path}/results", f"--models_dir={tmp_path}/models",
+        "--precision=f32",
+    ])
+    assert (model_path / "gen_B_final.pth").exists()
+    log = (result_path / "training_log.txt").read_text()
+    assert "Iter [" in log
