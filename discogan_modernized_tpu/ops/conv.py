@@ -15,6 +15,7 @@ fan_in = in_ch*k*k for Conv2d and (quirk) out_ch*k*k for ConvTranspose2d
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 
@@ -57,12 +58,30 @@ def conv2d(x, w, *, stride: int, padding: int, policy=None):
     x: (N,H,W,C) activations; w: (kh,kw,I,O) kernel. Output dtype equals
     the (policy-cast) operand dtype so the op stays cleanly differentiable
     under mixed precision.
+
+    NARROW-INPUT k=4/s=2/p=1 convs (the 3-channel encoder boundary layer,
+    ref model.py:8) take a custom-VJP path: their input gradient is a
+    transposed conv whose 3-lane output hits the same degenerate
+    zero-dilated lowering the forward 64->3 convT did (~9x over roofline,
+    PERF.md) — so the VJP routes dx through the subpixel decomposition in
+    conv_transpose2d instead. Weight grads keep XLA's emitter (contraction
+    over batch x space — never degenerate). DISCOGAN_SUBPIXEL=0 disables
+    both tricks; DISCOGAN_SUBPIXEL_DX=0 disables just this VJP (A/B knob).
     """
     if policy is not None:
         x = x.astype(policy.compute_dtype)
         w = w.astype(policy.compute_dtype)
     else:
         w = w.astype(x.dtype)
+    if (w.shape[0] == 4 and stride == 2 and padding == 1 and w.shape[2] <= 16
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+            and os.environ.get("DISCOGAN_SUBPIXEL", "1") != "0"
+            and os.environ.get("DISCOGAN_SUBPIXEL_DX", "1") != "0"):
+        return _conv2d_subpixel_dx(x, w, stride, padding)
+    return _plain_conv2d(x, w, stride, padding)
+
+
+def _plain_conv2d(x, w, stride: int, padding: int):
     return lax.conv_general_dilated(
         x,
         w,
@@ -71,6 +90,31 @@ def conv2d(x, w, *, stride: int, padding: int, policy=None):
         dimension_numbers=DIMENSION_NUMBERS,
         precision=_conv_precision(x),
     )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _conv2d_subpixel_dx(x, w, stride, padding):
+    return _plain_conv2d(x, w, stride, padding)
+
+
+def _conv2d_subpixel_dx_fwd(x, w, stride, padding):
+    return _plain_conv2d(x, w, stride, padding), (x, w)
+
+
+def _conv2d_subpixel_dx_bwd(stride, padding, res, dy):
+    x, w = res
+    # dx of conv(x, w) IS torch's ConvTranspose2d(dy, w) with the same
+    # (k, s, p) — conv weight (O,I,k,k) read as convT weight (I',O',k,k);
+    # in HWIO that is a swap of the last two axes. out_ch = x's channel
+    # count <= 16, so conv_transpose2d takes its subpixel path.
+    dx = conv_transpose2d(dy, jnp.swapaxes(w, 2, 3), stride=stride,
+                          padding=padding)
+    _, vjp_w = jax.vjp(lambda w_: _plain_conv2d(x, w_, stride, padding), w)
+    dw, = vjp_w(dy)
+    return dx.astype(x.dtype), dw
+
+
+_conv2d_subpixel_dx.defvjp(_conv2d_subpixel_dx_fwd, _conv2d_subpixel_dx_bwd)
 
 
 def conv_transpose2d(x, w, *, stride: int, padding: int, policy=None):

@@ -1,0 +1,102 @@
+"""Interleaved A/B of the train step under two env-var settings.
+
+Run: python -m discogan_modernized_tpu.tools.env_ab --var DISCOGAN_SUBPIXEL_DX
+    [--size 64] [--batch 64] [--steps 16] [--rounds 6] [--values 1,0]
+
+Trace-time env switches (DISCOGAN_SUBPIXEL, DISCOGAN_SUBPIXEL_DX,
+DISCOGAN_PALLAS_BN, ...) select between numerically-equivalent lowerings;
+this tool compiles one fused-scan program per value of --var, then times
+them round-robin in ONE process (tunnel variance is +-10%, PERF.md — the
+only trustworthy comparison is interleaved). Reports best-round img/s per
+value and the ratio.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--var", type=str, required=True)
+    ap.add_argument("--values", type=str, default="1,0")
+    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=16, help="scan steps per call")
+    ap.add_argument("--calls", type=int, default=4, help="timed calls per round")
+    ap.add_argument("--rounds", type=int, default=6)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from ..train import TrainConfig, init_train_state
+    from ..train.step import make_scan_train_step
+
+    values = args.values.split(",")
+    size, batch, k = args.size, args.batch, args.steps
+    cfg = TrainConfig(image_size=size, model_arch="discogan")
+    n_data = 2 * batch
+    rng = np.random.RandomState(0)
+    data_A = jnp.asarray(rng.rand(n_data, size, size, 3), jnp.float32)
+    data_B = jnp.asarray(rng.rand(n_data, size, size, 3), jnp.float32)
+
+    orig = os.environ.get(args.var)
+    fns, states = {}, {}
+    for v in values:
+        os.environ[args.var] = v
+        # Tracing happens at first call; force it now while the env value
+        # is pinned by warming each program below under its own value.
+        fns[v] = make_scan_train_step(cfg, steps=k)
+        states[v] = init_train_state(jax.random.PRNGKey(0), cfg)
+
+    def one_call(v, ts, it0):
+        ia = jnp.asarray(rng.randint(0, n_data, (k, batch)), jnp.int32)
+        ib = jnp.asarray(rng.randint(0, n_data, (k, batch)), jnp.int32)
+        ts, losses = fns[v](ts, data_A, data_B, ia, ib, jnp.int32(it0))
+        return ts, losses
+
+    # Warm/compile each variant under its env value.
+    for v in values:
+        os.environ[args.var] = v
+        ts, losses = one_call(v, states[v], 0)
+        _ = float(losses["gen_total"][-1])
+        states[v] = ts
+    if orig is None:
+        os.environ.pop(args.var, None)
+    else:
+        os.environ[args.var] = orig
+
+    results = {v: [] for v in values}
+    for rnd in range(args.rounds):
+        for v in values:
+            ts = states[v]
+            t0 = time.perf_counter()
+            for c in range(args.calls):
+                ts, losses = one_call(v, ts, (rnd * args.calls + c + 1) * k)
+            _ = float(losses["gen_total"][-1])
+            _ = float(jax.tree.leaves(ts["models"]["gen_B"])[0].ravel()[0])
+            dt = time.perf_counter() - t0
+            states[v] = ts
+            ips = batch * k * args.calls / dt
+            results[v].append(ips)
+            print(f"round {rnd} {args.var}={v}: {ips:.1f} img/s", flush=True)
+
+    best = {v: round(max(r), 1) for v, r in results.items()}
+    out = {"var": args.var, "size": size, "batch": batch, "best": best}
+    if len(values) == 2:
+        a, b = values
+        out["ratio"] = round(best[a] / best[b], 4)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

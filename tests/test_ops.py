@@ -120,3 +120,32 @@ def test_conv_init_matches_torch_default_distribution():
     assert abs(float(conv.weight.abs().max()) - bound) < bound * 0.02
     convt = torch.nn.ConvTranspose2d(64, 128, 4, bias=False)
     assert abs(float(convt.weight.abs().max()) - bound_t) < bound_t * 0.02
+
+
+def test_conv2d_narrow_input_custom_vjp_grads_match_torch():
+    """The 3-channel boundary conv's input grad is routed through the
+    subpixel convT decomposition (ops/conv.py custom VJP); both grads
+    must still match torch autograd to f32 rounding."""
+    import jax
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(4, 16, 16, 3).astype(np.float32)
+    w = rng.randn(4, 4, 3, 8).astype(np.float32)
+    dy = rng.randn(4, 8, 8, 8).astype(np.float32)
+
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2)).requires_grad_(True)
+    wt = torch.from_numpy(w.transpose(3, 2, 0, 1)).requires_grad_(True)
+    yt = TF.conv2d(xt, wt, stride=2, padding=1)
+    yt.backward(torch.from_numpy(dy.transpose(0, 3, 1, 2)))
+
+    def f(xj, wj):
+        y = conv2d(xj, wj, stride=2, padding=1)
+        return jnp.sum(y * jnp.asarray(dy))
+
+    gx, gw = jax.grad(f, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(w))
+    np.testing.assert_allclose(
+        np.asarray(gx), xt.grad.numpy().transpose(0, 2, 3, 1),
+        rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(gw), wt.grad.numpy().transpose(2, 3, 1, 0),
+        rtol=1e-4, atol=1e-4)
