@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--steps", type=int, default=16, help="scan steps per call")
     ap.add_argument("--calls", type=int, default=4, help="timed calls per round")
     ap.add_argument("--rounds", type=int, default=6)
+    ap.add_argument("--per_step", action="store_true",
+                    help="use the two-program per-step path instead of the "
+                         "fused scan (required at shapes where the scan "
+                         "program exceeds the backend's compile limits, "
+                         "e.g. 512px b32 — PERF.md)")
     args = ap.parse_args()
 
     import jax
@@ -49,16 +54,35 @@ def main():
     data_A = jnp.asarray(rng.rand(n_data, size, size, 3), jnp.float32)
     data_B = jnp.asarray(rng.rand(n_data, size, size, 3), jnp.float32)
 
+    from ..train.step import make_train_steps
+
+    # One resident train state at 512px is ~9GB (params + Adam for 4
+    # nets); keeping one per variant exhausts the chip — re-init per
+    # round there (jit caches keep the compiled programs warm).
+    fresh_state = size >= 256
     orig = os.environ.get(args.var)
     fns, states = {}, {}
     for v in values:
         os.environ[args.var] = v
         # Tracing happens at first call; force it now while the env value
         # is pinned by warming each program below under its own value.
-        fns[v] = make_scan_train_step(cfg, steps=k)
-        states[v] = init_train_state(jax.random.PRNGKey(0), cfg)
+        fns[v] = (make_train_steps(cfg) if args.per_step
+                  else make_scan_train_step(cfg, steps=k))
+        if not fresh_state:
+            states[v] = init_train_state(jax.random.PRNGKey(0), cfg)
 
     def one_call(v, ts, it0):
+        if args.per_step:
+            gen_step, dis_step = fns[v]
+            A = jnp.take(data_A, jnp.asarray(
+                rng.randint(0, n_data, (batch,)), jnp.int32), axis=0)
+            B = jnp.take(data_B, jnp.asarray(
+                rng.randint(0, n_data, (batch,)), jnp.int32), axis=0)
+            losses = None
+            for j in range(it0, it0 + k):
+                step = dis_step if cfg.is_dis_iter(j) else gen_step
+                ts, losses = step(ts, A, B, jnp.float32(cfg.rate_for(j)))
+            return ts, {kk: vv[None] for kk, vv in losses.items()}
         ia = jnp.asarray(rng.randint(0, n_data, (k, batch)), jnp.int32)
         ib = jnp.asarray(rng.randint(0, n_data, (k, batch)), jnp.int32)
         ts, losses = fns[v](ts, data_A, data_B, ia, ib, jnp.int32(it0))
@@ -67,9 +91,14 @@ def main():
     # Warm/compile each variant under its env value.
     for v in values:
         os.environ[args.var] = v
-        ts, losses = one_call(v, states[v], 0)
+        ts = init_train_state(jax.random.PRNGKey(0), cfg) if fresh_state \
+            else states[v]
+        ts, losses = one_call(v, ts, 0)
         _ = float(losses["gen_total"][-1])
-        states[v] = ts
+        if fresh_state:
+            del ts
+        else:
+            states[v] = ts
     if orig is None:
         os.environ.pop(args.var, None)
     else:
@@ -78,15 +107,23 @@ def main():
     results = {v: [] for v in values}
     for rnd in range(args.rounds):
         for v in values:
-            ts = states[v]
+            if fresh_state:
+                ts = init_train_state(jax.random.PRNGKey(0), cfg)
+                ts, losses = one_call(v, ts, 0)  # settle (no compile now)
+                _ = float(losses["gen_total"][-1])
+            else:
+                ts = states[v]
             t0 = time.perf_counter()
             for c in range(args.calls):
                 ts, losses = one_call(v, ts, (rnd * args.calls + c + 1) * k)
             _ = float(losses["gen_total"][-1])
             _ = float(jax.tree.leaves(ts["models"]["gen_B"])[0].ravel()[0])
             dt = time.perf_counter() - t0
-            states[v] = ts
             ips = batch * k * args.calls / dt
+            if fresh_state:
+                del ts
+            else:
+                states[v] = ts
             results[v].append(ips)
             print(f"round {rnd} {args.var}={v}: {ips:.1f} img/s", flush=True)
 

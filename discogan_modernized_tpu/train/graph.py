@@ -81,7 +81,8 @@ def _checkpoint_policies(remat_policy: str | None):
 def discogan_losses_paired(models, model_states, A, B, *, policy: Policy = F32,
                            skip_first_fm: bool = False,
                            axis_name: str | None = None, remat: bool = False,
-                           remat_policy: str | None = None):
+                           remat_policy: str | None = None,
+                           remat_dis: bool | None = None):
     """The same loss graph with every A-side/B-side op pair fused.
 
     The DiscoGAN graph is perfectly symmetric: each forward comes in an
@@ -109,7 +110,8 @@ def discogan_losses_paired(models, model_states, A, B, *, policy: Policy = F32,
     if remat:
         g_policy, d_policy = _checkpoint_policies(remat_policy)
         g_pair = jax.checkpoint(g_pair, policy=g_policy)
-        d_pair = jax.checkpoint(d_pair, policy=d_policy)
+        if remat_dis is None or remat_dis:
+            d_pair = jax.checkpoint(d_pair, policy=d_policy)
 
     gBA_params = _stack_pair(models["gen_B"], models["gen_A"])
     dAB_params = _stack_pair(models["dis_A"], models["dis_B"])
@@ -165,7 +167,8 @@ def discogan_losses_paired(models, model_states, A, B, *, policy: Policy = F32,
 
 def discogan_losses(models, model_states, A, B, *, policy: Policy = F32,
                     skip_first_fm: bool = False, axis_name: str | None = None,
-                    remat: bool = False, remat_policy: str | None = None):
+                    remat: bool = False, remat_policy: str | None = None,
+                    remat_dis: bool | None = None):
     """Run the full forward graph.
 
     models / model_states: dicts with keys gen_A, gen_B, dis_A, dis_B.
@@ -196,7 +199,15 @@ def discogan_losses(models, model_states, A, B, *, policy: Policy = F32,
     if remat:
         g_policy, d_policy = _checkpoint_policies(remat_policy)
         g_apply = jax.checkpoint(g_apply, policy=g_policy)
-        d_apply = jax.checkpoint(d_apply, policy=d_policy)
+        # remat_dis=False stores discriminator activations instead of
+        # recomputing them in the backward — numerically identical (remat
+        # replays the exact same ops), a pure schedule/memory trade. The
+        # D stacks are encoder-only, so their activations are small
+        # (~2GB at 512px b32 across all 4 D forwards) next to the
+        # generators'; when they fit, not rematerializing them removes
+        # every D-forward recompute from both branch backwards.
+        if remat_dis is None or remat_dis:
+            d_apply = jax.checkpoint(d_apply, policy=d_policy)
 
     AB, gb_s1 = g_apply(models["gen_B"], model_states["gen_B"], A)
     BA, ga_s1 = g_apply(models["gen_A"], model_states["gen_A"], B)

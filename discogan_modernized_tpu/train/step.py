@@ -67,6 +67,12 @@ class TrainConfig:
     # "conv" = save every conv output so the backward recomputes only the
     # elementwise BN/activation chains (see train/graph._checkpoint_policies).
     remat_policy: str | None = None
+    # Rematerialize the DISCRIMINATOR forwards too. None = auto: skip D
+    # remat when the 4 D-forward activation sets fit comfortably in HBM
+    # (they are encoder-only, ~2GB at 512px b32) — numerically identical,
+    # removes every D-forward recompute from the backward. Env override:
+    # DISCOGAN_REMAT_DIS=0/1.
+    remat_dis: bool | None = None
 
     # Fuse each A-side/B-side forward pair into one vmapped (grouped-conv)
     # pass — numerically equivalent, fewer/bigger kernels (graph.py
@@ -104,6 +110,35 @@ def init_train_state(key, cfg: TrainConfig):
     }
 
 
+def _dis_activation_bytes(image_size: int, batch: int, itemsize: int) -> int:
+    """Estimated bytes of the 4 discriminator forwards' stored activations
+    (conv outputs; BN/act chains fuse and add little)."""
+    from ..models.geometry import encoder_channels
+
+    size, total = image_size, 0
+    for ch in encoder_channels(image_size):
+        size //= 2
+        total += size * size * ch
+    return 4 * batch * total * itemsize
+
+
+def _resolve_remat_dis(cfg: TrainConfig, batch: int, policy: Policy):
+    """None (follow cfg.remat) / False (store D activations). Auto skips D
+    remat when the stored activations stay under ~3GB — comfortably
+    inside a 16GB v5e chip next to ~9GB of 512px params/Adam state."""
+    import os
+
+    env = os.environ.get("DISCOGAN_REMAT_DIS")
+    if env is not None:
+        return env != "0"
+    if cfg.remat_dis is not None:
+        return cfg.remat_dis
+    itemsize = jax.numpy.dtype(policy.compute_dtype).itemsize
+    if _dis_activation_bytes(cfg.image_size, batch, itemsize) <= 3 * 2**30:
+        return False
+    return None
+
+
 def _forward(models, states, A, B, rate, cfg: TrainConfig, policy: Policy):
     from .graph import discogan_losses_paired
 
@@ -113,6 +148,7 @@ def _forward(models, states, A, B, rate, cfg: TrainConfig, policy: Policy):
         models, states, A, B,
         policy=policy, skip_first_fm=cfg.skip_first_fm, axis_name=sync_axis,
         remat=cfg.use_remat, remat_policy=cfg.remat_policy,
+        remat_dis=_resolve_remat_dis(cfg, A.shape[0], policy),
     )
     gen_total, dis_total = mix_losses(losses, rate, cfg.model_arch)
     losses = dict(losses, gen_total=gen_total, dis_total=dis_total)

@@ -63,3 +63,39 @@ def test_remat_policies_equal_plain():
         for a, b in zip(results[None][1], results[pol][1]):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-6, rtol=1e-6)
+
+
+def test_remat_dis_off_equals_full_remat():
+    """remat_dis=False stores the discriminator activations instead of
+    recomputing them — a pure schedule change; trajectories must match
+    bitwise (step.py _resolve_remat_dis)."""
+    data = np.random.RandomState(4)
+    A = jnp.asarray(data.rand(4, 32, 32, 3).astype(np.float32))
+    B = jnp.asarray(data.rand(4, 32, 32, 3).astype(np.float32))
+
+    results = {}
+    for rd in (True, False):
+        cfg = TrainConfig(image_size=32, precision="f32", remat=True,
+                          remat_dis=rd)
+        ts = init_train_state(jax.random.PRNGKey(5), cfg)
+        gen_step, dis_step = make_train_steps(cfg, F32)
+        for j in range(6):
+            step = dis_step if cfg.is_dis_iter(j) else gen_step
+            ts, losses = step(ts, A, B, jnp.float32(cfg.rate_for(j)))
+        results[rd] = ({k: float(v) for k, v in losses.items()},
+                       jax.tree.leaves(ts["models"]))
+
+    for k in results[True][0]:
+        assert results[True][0][k] == results[False][0][k], k
+    for a, b in zip(results[True][1], results[False][1]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dis_activation_bytes_estimate():
+    from discogan_modernized_tpu.train.step import _dis_activation_bytes
+
+    # 512px b32 bf16: the documented ~2GB operating point.
+    b = _dis_activation_bytes(512, 32, 2)
+    assert 1.5 * 2**30 < b < 3 * 2**30
+    # 64px b64 is tiny — auto mode must disable D remat there too.
+    assert _dis_activation_bytes(64, 64, 2) < 100 * 2**20
