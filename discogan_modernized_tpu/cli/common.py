@@ -123,6 +123,14 @@ def add_common_flags(parser: argparse.ArgumentParser, *, task_default: str,
                              'grouped convolutions (numerically equivalent; '
                              'measured ~10%% slower at 64px on v5e — '
                              'experimental)')
+    parser.add_argument('--lean_dis', action='store_true',
+                        help='(extension) skip the ABA/BAB reconstruction '
+                             'forwards on non-logged discriminator '
+                             'iterations. Weight trajectory is '
+                             'bit-identical (training-mode BN uses batch '
+                             'stats); only BN running-stat bookkeeping '
+                             'differs. Logged iterations always run the '
+                             'full graph, so training_log.txt is exact.')
     parser.add_argument('--remat', type=str, default=None,
                         choices=['on', 'off'],
                         help='Activation rematerialization (default: auto, '

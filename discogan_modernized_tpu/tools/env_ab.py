@@ -14,6 +14,7 @@ value and the ratio.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import time
@@ -23,7 +24,12 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--var", type=str, required=True)
+    ap.add_argument("--var", type=str, default=None,
+                    help="env var to flip (trace-time lowering switches)")
+    ap.add_argument("--field", type=str, default=None,
+                    help="TrainConfig field to flip instead of an env var "
+                         "(e.g. lean_dis, paired); values are parsed as "
+                         "true/false/int/str")
     ap.add_argument("--values", type=str, default="1,0")
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--batch", type=int, default=64)
@@ -46,9 +52,23 @@ def main():
     from ..train import TrainConfig, init_train_state
     from ..train.step import make_scan_train_step
 
+    if (args.var is None) == (args.field is None):
+        ap.error("exactly one of --var / --field is required")
+
+    def parse_val(s):
+        if s in ("true", "false"):
+            return s == "true"
+        try:
+            return int(s)
+        except ValueError:
+            return s
+
     values = args.values.split(",")
     size, batch, k = args.size, args.batch, args.steps
     cfg = TrainConfig(image_size=size, model_arch="discogan")
+    cfgs = {v: (cfg if args.field is None
+                else dataclasses.replace(cfg, **{args.field: parse_val(v)}))
+            for v in values}
     n_data = 2 * batch
     rng = np.random.RandomState(0)
     data_A = jnp.asarray(rng.rand(n_data, size, size, 3), jnp.float32)
@@ -60,16 +80,18 @@ def main():
     # nets); keeping one per variant exhausts the chip — re-init per
     # round there (jit caches keep the compiled programs warm).
     fresh_state = size >= 256
-    orig = os.environ.get(args.var)
+    label = args.var or args.field
+    orig = os.environ.get(args.var) if args.var else None
     fns, states = {}, {}
     for v in values:
-        os.environ[args.var] = v
+        if args.var:
+            os.environ[args.var] = v
         # Tracing happens at first call; force it now while the env value
         # is pinned by warming each program below under its own value.
-        fns[v] = (make_train_steps(cfg) if args.per_step
-                  else make_scan_train_step(cfg, steps=k))
+        fns[v] = (make_train_steps(cfgs[v]) if args.per_step
+                  else make_scan_train_step(cfgs[v], steps=k))
         if not fresh_state:
-            states[v] = init_train_state(jax.random.PRNGKey(0), cfg)
+            states[v] = init_train_state(jax.random.PRNGKey(0), cfgs[v])
 
     def one_call(v, ts, it0):
         if args.per_step:
@@ -79,9 +101,10 @@ def main():
             B = jnp.take(data_B, jnp.asarray(
                 rng.randint(0, n_data, (batch,)), jnp.int32), axis=0)
             losses = None
+            c = cfgs[v]
             for j in range(it0, it0 + k):
-                step = dis_step if cfg.is_dis_iter(j) else gen_step
-                ts, losses = step(ts, A, B, jnp.float32(cfg.rate_for(j)))
+                step = dis_step if c.is_dis_iter(j) else gen_step
+                ts, losses = step(ts, A, B, jnp.float32(c.rate_for(j)))
             return ts, {kk: vv[None] for kk, vv in losses.items()}
         ia = jnp.asarray(rng.randint(0, n_data, (k, batch)), jnp.int32)
         ib = jnp.asarray(rng.randint(0, n_data, (k, batch)), jnp.int32)
@@ -90,8 +113,9 @@ def main():
 
     # Warm/compile each variant under its env value.
     for v in values:
-        os.environ[args.var] = v
-        ts = init_train_state(jax.random.PRNGKey(0), cfg) if fresh_state \
+        if args.var:
+            os.environ[args.var] = v
+        ts = init_train_state(jax.random.PRNGKey(0), cfgs[v]) if fresh_state \
             else states[v]
         ts, losses = one_call(v, ts, 0)
         _ = float(losses["gen_total"][-1])
@@ -99,16 +123,17 @@ def main():
             del ts
         else:
             states[v] = ts
-    if orig is None:
-        os.environ.pop(args.var, None)
-    else:
-        os.environ[args.var] = orig
+    if args.var:
+        if orig is None:
+            os.environ.pop(args.var, None)
+        else:
+            os.environ[args.var] = orig
 
     results = {v: [] for v in values}
     for rnd in range(args.rounds):
         for v in values:
             if fresh_state:
-                ts = init_train_state(jax.random.PRNGKey(0), cfg)
+                ts = init_train_state(jax.random.PRNGKey(0), cfgs[v])
                 ts, losses = one_call(v, ts, 0)  # settle (no compile now)
                 _ = float(losses["gen_total"][-1])
             else:
@@ -125,10 +150,10 @@ def main():
             else:
                 states[v] = ts
             results[v].append(ips)
-            print(f"round {rnd} {args.var}={v}: {ips:.1f} img/s", flush=True)
+            print(f"round {rnd} {label}={v}: {ips:.1f} img/s", flush=True)
 
     best = {v: round(max(r), 1) for v, r in results.items()}
-    out = {"var": args.var, "size": size, "batch": batch, "best": best}
+    out = {"var": label, "size": size, "batch": batch, "best": best}
     if len(values) == 2:
         a, b = values
         out["ratio"] = round(best[a] / best[b], 4)

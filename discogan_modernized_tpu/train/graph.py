@@ -82,7 +82,8 @@ def discogan_losses_paired(models, model_states, A, B, *, policy: Policy = F32,
                            skip_first_fm: bool = False,
                            axis_name: str | None = None, remat: bool = False,
                            remat_policy: str | None = None,
-                           remat_dis: bool | None = None):
+                           remat_dis: bool | None = None,
+                           dis_only: bool = False):
     """The same loss graph with every A-side/B-side op pair fused.
 
     The DiscoGAN graph is perfectly symmetric: each forward comes in an
@@ -122,15 +123,19 @@ def discogan_losses_paired(models, model_states, A, B, *, policy: Policy = F32,
     AB, BA = out1[0], out1[1]
     gb_s1, ga_s1 = _unstack_pair(st1n)
 
-    # Stage 2: ABA = G_A(AB), BAB = G_B(BA) — note the swapped pairing.
-    gAB_params = _stack_pair(models["gen_A"], models["gen_B"])
-    st2 = _stack_pair(ga_s1, gb_s1)
-    out2, st2n = g_pair(gAB_params, st2, jnp.stack([AB, BA]))
-    ABA, BAB = out2[0], out2[1]
-    ga_s2, gb_s2 = _unstack_pair(st2n)
+    if dis_only:  # lean D-step: see discogan_losses
+        ga_s2, gb_s2 = ga_s1, gb_s1
+        recon_A = recon_B = jnp.zeros((), jnp.float32)
+    else:
+        # Stage 2: ABA = G_A(AB), BAB = G_B(BA) — note the swapped pairing.
+        gAB_params = _stack_pair(models["gen_A"], models["gen_B"])
+        st2 = _stack_pair(ga_s1, gb_s1)
+        out2, st2n = g_pair(gAB_params, st2, jnp.stack([AB, BA]))
+        ABA, BAB = out2[0], out2[1]
+        ga_s2, gb_s2 = _unstack_pair(st2n)
 
-    recon_A = mse_loss(ABA, A)
-    recon_B = mse_loss(BAB, B)
+        recon_A = mse_loss(ABA, A)
+        recon_B = mse_loss(BAB, B)
 
     # Stage 3: D_A(A), D_B(B) then D_A(BA), D_B(AB).
     dst1 = _stack_pair(model_states["dis_A"], model_states["dis_B"])
@@ -168,8 +173,21 @@ def discogan_losses_paired(models, model_states, A, B, *, policy: Policy = F32,
 def discogan_losses(models, model_states, A, B, *, policy: Policy = F32,
                     skip_first_fm: bool = False, axis_name: str | None = None,
                     remat: bool = False, remat_policy: str | None = None,
-                    remat_dis: bool | None = None):
+                    remat_dis: bool | None = None, dis_only: bool = False):
     """Run the full forward graph.
+
+    dis_only=True (the opt-in "lean" D-step, TrainConfig.lean_dis) skips
+    the ABA/BAB reconstruction forwards: the discriminator loss never
+    reads them, and in training mode BatchNorm normalizes with batch
+    statistics, so the weight trajectory is bit-identical with or without
+    them (tests/test_lean_dis.py) — the reference runs them on D
+    iterations purely as a side effect of building the full graph every
+    step (ref image_translation.py:342-390). What DOES differ is BN
+    running-statistic bookkeeping (2 generator forwards per D iteration
+    instead of 4), i.e. the eval-mode buffers exported in checkpoints
+    accumulate from fewer batches. recon losses are reported as 0 —
+    callers must route log-cadence iterations through the full graph to
+    keep the training_log contract exact (train/step.py, train/loop.py).
 
     models / model_states: dicts with keys gen_A, gen_B, dis_A, dis_B.
     Returns (losses, new_model_states) where losses has the eight raw
@@ -211,11 +229,15 @@ def discogan_losses(models, model_states, A, B, *, policy: Policy = F32,
 
     AB, gb_s1 = g_apply(models["gen_B"], model_states["gen_B"], A)
     BA, ga_s1 = g_apply(models["gen_A"], model_states["gen_A"], B)
-    ABA, ga_s2 = g_apply(models["gen_A"], ga_s1, AB)
-    BAB, gb_s2 = g_apply(models["gen_B"], gb_s1, BA)
+    if dis_only:
+        ga_s2, gb_s2 = ga_s1, gb_s1
+        recon_A = recon_B = jnp.zeros((), jnp.float32)
+    else:
+        ABA, ga_s2 = g_apply(models["gen_A"], ga_s1, AB)
+        BAB, gb_s2 = g_apply(models["gen_B"], gb_s1, BA)
 
-    recon_A = mse_loss(ABA, A)
-    recon_B = mse_loss(BAB, B)
+        recon_A = mse_loss(ABA, A)
+        recon_B = mse_loss(BAB, B)
 
     (A_real, A_feats_real), da_s1 = d_apply(
         models["dis_A"], model_states["dis_A"], A)

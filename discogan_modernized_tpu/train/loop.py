@@ -85,6 +85,8 @@ def config_from_args(args, angle_variant: bool) -> TrainConfig:
         remat_policy={"full": None}.get(
             getattr(args, "remat_policy", None),
             getattr(args, "remat_policy", None)),
+        lean_dis=bool(getattr(args, "lean_dis", False)),
+        log_interval=args.log_interval,
     )
 
 
@@ -213,6 +215,18 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
                 f"(dp/gspmd/spatial)")
     else:
         gen_step, dis_step = make_train_steps(cfg)
+    lean_dis_step = None
+    if cfg.lean_dis:
+        if distributed:
+            import dataclasses as _dc
+
+            print("경고: --lean_dis 는 분산 모드에서 지원되지 않아 "
+                  "무시됩니다")
+            cfg = _dc.replace(cfg, lean_dis=False)
+        else:
+            from .step import make_lean_dis_step
+
+            lean_dis_step = make_lean_dis_step(cfg)
     sample_fn = make_sample_fn(cfg)
 
     dom_A, dom_B = (None, None) if angle_variant else task_domains(args.task_name)
@@ -477,7 +491,14 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
             A, B = next(it)
             A, B = to_global(A), to_global(B)
             rate = jnp.float32(cfg.rate_for(iters))
-            step = dis_step if cfg.is_dis_iter(iters) else gen_step
+            if cfg.is_dis_iter(iters):
+                # Lean D-step on non-logged iterations only: its recon
+                # losses report 0, so logged lines must use the full graph.
+                step = (lean_dis_step
+                        if lean_dis_step is not None
+                        and iters % args.log_interval != 0 else dis_step)
+            else:
+                step = gen_step
             profiler.tick(iters)
             ts, losses = step(ts, A, B, rate)
 

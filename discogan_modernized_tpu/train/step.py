@@ -78,6 +78,16 @@ class TrainConfig:
     # pass — numerically equivalent, fewer/bigger kernels (graph.py
     # discogan_losses_paired).
     paired: bool = False
+    # Opt-in lean D-step: skip the ABA/BAB reconstruction forwards on
+    # non-logged discriminator iterations. The weight trajectory is
+    # bit-identical (training-mode BN uses batch stats; dis_loss never
+    # reads ABA/BAB); only BN running-stat bookkeeping differs — see
+    # graph.discogan_losses(dis_only=...). Logged iterations always run
+    # the full graph so the training_log contract stays exact.
+    lean_dis: bool = False
+    # Logging cadence, used only by the lean-dis scan program to route
+    # log iterations through the full graph (ref default 50).
+    log_interval: int = 50
 
     @property
     def use_remat(self) -> bool:
@@ -139,7 +149,8 @@ def _resolve_remat_dis(cfg: TrainConfig, batch: int, policy: Policy):
     return None
 
 
-def _forward(models, states, A, B, rate, cfg: TrainConfig, policy: Policy):
+def _forward(models, states, A, B, rate, cfg: TrainConfig, policy: Policy,
+             dis_only: bool = False):
     from .graph import discogan_losses_paired
 
     sync_axis = cfg.axis_name if cfg.bn_sync else None
@@ -149,24 +160,29 @@ def _forward(models, states, A, B, rate, cfg: TrainConfig, policy: Policy):
         policy=policy, skip_first_fm=cfg.skip_first_fm, axis_name=sync_axis,
         remat=cfg.use_remat, remat_policy=cfg.remat_policy,
         remat_dis=_resolve_remat_dis(cfg, A.shape[0], policy),
+        dis_only=dis_only,
     )
     gen_total, dis_total = mix_losses(losses, rate, cfg.model_arch)
     losses = dict(losses, gen_total=gen_total, dis_total=dis_total)
     return losses, new_states
 
 
-def _make_branch(cfg: TrainConfig, policy: Policy, which: str):
+def _make_branch(cfg: TrainConfig, policy: Policy, which: str,
+                 lean: bool = False):
     gen_keys, dis_keys = trainable_subsets(cfg.model_arch)
     keys = gen_keys if which == "gen" else dis_keys
     opt_key = "opt_gen" if which == "gen" else "opt_dis"
     total_key = "gen_total" if which == "gen" else "dis_total"
+    dis_only = lean and which == "dis"
 
     def step(ts, A, B, rate):
         frozen = {k: v for k, v in ts["models"].items() if k not in keys}
 
         def loss_fn(trainable):
             models = {**frozen, **trainable}
-            losses, new_states = _forward(models, ts["model_states"], A, B, rate, cfg, policy)
+            losses, new_states = _forward(models, ts["model_states"], A, B,
+                                          rate, cfg, policy,
+                                          dis_only=dis_only)
             return losses[total_key], (losses, new_states)
 
         trainable = {k: ts["models"][k] for k in keys}
@@ -203,6 +219,19 @@ def make_train_steps(cfg: TrainConfig, policy: Policy | None = None, *, jit: boo
     return gen_step, dis_step
 
 
+def make_lean_dis_step(cfg: TrainConfig, policy: Policy | None = None, *,
+                       jit: bool = True):
+    """The lean D-step (cfg.lean_dis): same D update, no ABA/BAB forwards.
+
+    Use only on non-logged discriminator iterations — its recon losses
+    report 0 (graph.discogan_losses dis_only)."""
+    policy = policy or default_policy(cfg.precision)
+    step = _make_branch(cfg, policy, "dis", lean=True)
+    if jit:
+        step = jax.jit(step, donate_argnums=(0,))
+    return step
+
+
 def make_scan_train_step(cfg: TrainConfig, policy: Policy | None = None, *,
                          steps: int, jit: bool = True):
     """One XLA program running `steps` train iterations: batch gather from
@@ -228,6 +257,8 @@ def make_scan_train_step(cfg: TrainConfig, policy: Policy | None = None, *,
     policy = policy or default_policy(cfg.precision)
     gen_step = _make_branch(cfg, policy, "gen")
     dis_step = _make_branch(cfg, policy, "dis")
+    lean_step = (_make_branch(cfg, policy, "dis", lean=True)
+                 if cfg.lean_dis else None)
 
     def multi(ts, data_A, data_B, idx_A, idx_B, iters0):
         def body(ts, xs):
@@ -239,6 +270,19 @@ def make_scan_train_step(cfg: TrainConfig, policy: Policy | None = None, *,
                              cfg.starting_rate, cfg.default_rate
                              ).astype(jnp.float32)
             is_dis = (i % cfg.update_interval) == 0
+            if lean_step is not None:
+                # Route logged D iterations through the full graph so the
+                # training_log's recon values stay exact (lean reports 0).
+                is_log = (i % cfg.log_interval) == 0
+                branch = jnp.where(is_dis, jnp.where(is_log, 1, 2), 0)
+                new_ts, losses = lax.switch(
+                    branch,
+                    [lambda t: gen_step(t, A, B, rate),
+                     lambda t: dis_step(t, A, B, rate),
+                     lambda t: lean_step(t, A, B, rate)],
+                    ts,
+                )
+                return new_ts, losses
             new_ts, losses = lax.cond(
                 is_dis,
                 lambda t: dis_step(t, A, B, rate),
