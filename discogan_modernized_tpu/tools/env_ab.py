@@ -88,8 +88,16 @@ def main():
             os.environ[args.var] = v
         # Tracing happens at first call; force it now while the env value
         # is pinned by warming each program below under its own value.
-        fns[v] = (make_train_steps(cfgs[v]) if args.per_step
-                  else make_scan_train_step(cfgs[v], steps=k))
+        if args.per_step:
+            gen_s, dis_s = make_train_steps(cfgs[v])
+            if cfgs[v].lean_dis:
+                from ..train.step import make_lean_dis_step
+
+                # Mirror the trainer: lean program on non-logged D iters.
+                dis_s = (dis_s, make_lean_dis_step(cfgs[v]))
+            fns[v] = (gen_s, dis_s)
+        else:
+            fns[v] = make_scan_train_step(cfgs[v], steps=k)
         if not fresh_state:
             states[v] = init_train_state(jax.random.PRNGKey(0), cfgs[v])
 
@@ -103,7 +111,14 @@ def main():
             losses = None
             c = cfgs[v]
             for j in range(it0, it0 + k):
-                step = dis_step if c.is_dis_iter(j) else gen_step
+                if c.is_dis_iter(j):
+                    if isinstance(dis_step, tuple):  # (full, lean)
+                        step = (dis_step[0] if j % c.log_interval == 0
+                                else dis_step[1])
+                    else:
+                        step = dis_step
+                else:
+                    step = gen_step
                 ts, losses = step(ts, A, B, jnp.float32(c.rate_for(j)))
             return ts, {kk: vv[None] for kk, vv in losses.items()}
         ia = jnp.asarray(rng.randint(0, n_data, (k, batch)), jnp.int32)
