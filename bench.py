@@ -142,8 +142,35 @@ def measure_train(image_size: int, batch: int, n_steps: int = 150,
     warmup = max(1, warmup // steps_per_call) * steps_per_call
 
     cfg = TrainConfig(image_size=image_size, model_arch="discogan")
-    ts = init_train_state(jax.random.PRNGKey(0), cfg)
     multi = make_scan_train_step(cfg, steps=steps_per_call)
+
+    # Probe-compile with ABSTRACT arguments before allocating anything on
+    # the device: at 512px b32 the scan program exceeds HBM at compile
+    # time, and a fallback after a real attempt would transiently
+    # co-reside two ~8GB train states (tunnel buffer deletion is async)
+    # and RESOURCE_EXHAUSTED the per-step path too.
+    sds = jax.ShapeDtypeStruct
+    abstract_args = (
+        jax.eval_shape(lambda: init_train_state(jax.random.PRNGKey(0), cfg)),
+        sds((n_data, image_size, image_size, 3), jnp.float32),
+        sds((n_data, image_size, image_size, 3), jnp.float32),
+        sds((steps_per_call, batch), jnp.int32),
+        sds((steps_per_call, batch), jnp.int32),
+        sds((), jnp.int32),
+    )
+    try:
+        multi.lower(*abstract_args).compile()
+    except Exception as e:
+        import sys
+
+        print(f"# scan program failed to compile ({type(e).__name__}); "
+              f"falling back to per-step measurement",
+              file=sys.stderr, flush=True)
+        return measure_train_per_step(image_size, batch,
+                                      n_steps=max(10, n_steps // 5),
+                                      warmup=max(2, warmup // 2))
+
+    ts = init_train_state(jax.random.PRNGKey(0), cfg)
     rng = np.random.RandomState(0)
     data_A = jnp.asarray(rng.rand(n_data, image_size, image_size, 3), jnp.float32)
     data_B = jnp.asarray(rng.rand(n_data, image_size, image_size, 3), jnp.float32)
@@ -165,17 +192,7 @@ def measure_train(image_size: int, batch: int, n_steps: int = 150,
         _ = float(jax.tree.leaves(ts["models"]["gen_B"])[0].ravel()[0])
         return ts
 
-    try:
-        ts = run(ts, warmup)
-    except Exception as e:
-        import sys
-
-        print(f"# scan program compile failed ({type(e).__name__}); "
-              f"falling back to per-step measurement",
-              file=sys.stderr, flush=True)
-        return measure_train_per_step(image_size, batch,
-                                      n_steps=max(10, n_steps // 5),
-                                      warmup=max(2, warmup // 2))
+    ts = run(ts, warmup)
     t0 = time.perf_counter()
     run(ts, n_steps, it0=warmup)
     return batch * n_steps / (time.perf_counter() - t0)
@@ -357,6 +374,14 @@ def main(full: bool = False):
     from discogan_modernized_tpu.train import TrainConfig, init_train_state, make_train_steps
 
     image_size, batch = 64, 64
+    # --full: measure the 512px row FIRST, on a pristine allocator. Its
+    # ~8GB train state OOMs if measured after other configs have churned
+    # the backend allocator (observed: the per-step fallback's warmup
+    # RESOURCE_EXHAUSTEDs in-process while the identical measurement in a
+    # fresh process runs at 114 img/s — tools/env_ab).
+    v512 = None
+    if full:
+        v512 = measure_train(512, 32, n_steps=15, warmup=3)
     # The shared tunnel/chip shows large run-to-run variance (observed
     # 5.7k-14k img/s for identical programs); report the best of 3
     # measurements as the least-polluted steady-state capability.
@@ -375,7 +400,6 @@ def main(full: bool = False):
         from pathlib import Path
 
         detail = {"primary": out}
-        v512 = measure_train(512, 32, n_steps=15, warmup=3)
         detail["train_512px_b32"] = {
             "value": round(v512, 1),
             "unit": "images/sec/chip",

@@ -178,6 +178,15 @@ class PrefetchLoader:
             self._build_device_dataset()
         return self._dev_A, self._dev_B
 
+    def release_device_cache(self):
+        """Drop the HBM-resident datasets and fall back to host-side batch
+        feeding. Used when a consumer's device program failed for memory
+        reasons (train/loop.py scan-compile fallback at 512px) — the
+        decoded-sample disk cache still serves the host path, so decode
+        work is not repeated."""
+        self._dev_A = self._dev_B = None
+        self.device_cache = False
+
     def epoch_perms(self, shuffle: bool = True):
         """One epoch's independent per-domain permutations (unpaired
         shuffle semantics, ref dataset.py:24-35) as host index arrays —

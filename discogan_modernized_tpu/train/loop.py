@@ -363,13 +363,41 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
     if steps_per_call > 1 and scan_eligible:
         from .step import make_scan_train_step
 
-        dev_A, dev_B = loader.device_data()
         scan_progs: dict = {}
 
         def scan_prog(k):
             if k not in scan_progs:
                 scan_progs[k] = make_scan_train_step(cfg, steps=k)
             return scan_progs[k]
+
+        # Probe-compile with ABSTRACT args before building the HBM
+        # dataset: at 512px b32 the fused-scan program exceeds HBM at
+        # compile time (~367MB over, mostly layout padding), and finding
+        # that out after allocating the device cache risks transient
+        # co-residency OOMs (tunnel buffer deletion is async). The real
+        # call after a successful probe hits the persistent compile cache.
+        sds = jax.ShapeDtypeStruct
+        nA, nB = len(loader.data_A), len(loader.data_B)
+        sz, bs = args.image_size, args.batch_size
+        abstract = (
+            jax.tree.map(lambda x: sds(x.shape, x.dtype), ts),
+            sds((nA, sz, sz, 3), jnp.float32),
+            sds((nB, sz, sz, 3), jnp.float32),
+            sds((steps_per_call, bs), jnp.int32),
+            sds((steps_per_call, bs), jnp.int32),
+            sds((), jnp.int32),
+        )
+        try:
+            scan_prog(steps_per_call).lower(*abstract).compile()
+        except Exception as e:
+            print(f"경고: 다단계 scan 프로그램 컴파일 실패 — 단일 스텝 "
+                  f"경로로 폴백합니다 ({type(e).__name__}: {str(e)[:120]})")
+            scan_progs.clear()
+            loader.release_device_cache()
+            scan_eligible = False
+
+    if steps_per_call > 1 and scan_eligible:
+        dev_A, dev_B = loader.device_data()
 
         def index_stream():
             skip = skip_batches
@@ -411,6 +439,13 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
                           f"단일 스텝 경로로 폴백합니다 "
                           f"({type(e).__name__}: {str(e)[:120]})")
                     scan_failed = True
+                    # Release the HBM-resident dataset and cached scan
+                    # programs before the per-step path allocates its own
+                    # working set (at 512px the failure IS an HBM OOM —
+                    # co-residency would OOM the fallback too).
+                    del dev_A, dev_B
+                    scan_progs.clear()
+                    loader.release_device_cache()
                     if prog:
                         prog.close()
                     break
