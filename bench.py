@@ -118,8 +118,8 @@ def measure_train_per_step(image_size: int, batch: int, n_steps: int = 30,
     return batch * n_steps / (time.perf_counter() - t0)
 
 
-def measure_train(image_size: int, batch: int, n_steps: int = 150,
-                  warmup: int = 6, steps_per_call: int | None = None,
+def measure_train(image_size: int, batch: int, n_steps: int = 400,
+                  warmup: int = 25, steps_per_call: int | None = None,
                   n_data: int | None = None) -> float:
     """Steady-state train images/sec for one config on the current chip,
     through the production path: HBM-resident dataset + the fused
