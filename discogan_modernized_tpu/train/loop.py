@@ -359,7 +359,11 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
     steps_per_call = getattr(args, "steps_per_call", None)
     scan_eligible = mesh is None and n_proc == 1 and loader.device_cache
     if steps_per_call is None:
-        steps_per_call = 8 if scan_eligible else 1
+        # Auto: fuse steps only at small image sizes. At >= 256px a step
+        # is 100-300 ms, so dispatch amortization is worth ~1% while the
+        # fused program compiles for tens of minutes (512px b8 lean) or
+        # exceeds HBM at compile (512px b32) — not a good default trade.
+        steps_per_call = 8 if scan_eligible and args.image_size <= 128 else 1
     if steps_per_call > 1 and scan_eligible:
         from .step import make_scan_train_step
 
