@@ -400,6 +400,19 @@ def main(full: bool = False):
         from pathlib import Path
 
         detail = {"primary": out}
+        # The reference's own routine operating point was batch 128/GPU
+        # (ref parallel-training.sh:9-13); the b64 primary is the driver's
+        # fixed config. Larger batches amortize the small-spatial late
+        # layers much better on the MXU.
+        v128 = measure_train(64, 128, n_steps=400, warmup=25)
+        detail["train_64px_b128"] = {
+            "value": round(v128, 1),
+            "unit": "images/sec/chip",
+            "vs_a100_est": round(
+                v128 / (A100_PEAK * A100_ASSUMED_MFU / step_flops(64)), 3),
+            "note": "batch 128 = the reference's routine per-GPU batch "
+                    "(parallel-training.sh)",
+        }
         detail["train_512px_b32"] = {
             "value": round(v512, 1),
             "unit": "images/sec/chip",
