@@ -78,3 +78,54 @@ def discriminator_apply(params, state, x, *, policy: Policy = F32, training: boo
     logits = conv2d(h, params["head"]["w"], stride=1, padding=0, policy=policy)
     prob = constrain_latent(sigmoid(logits.astype(jnp.float32)))
     return (prob, feats), {"trunk": new_states}
+
+
+def discriminator_apply_pair(params, state, x_real, x_fake, *,
+                             policy: Policy = F32, training: bool = True,
+                             axis_name: str | None = None):
+    """Both forwards of ONE discriminator — real then fake — with every
+    convolution batched over the concatenated inputs (2B effective MXU
+    batch; at b64 the per-forward batch leaves the late small-spatial
+    layers underfilled, PERF.md batch sweep) while BatchNorm statistics
+    stay PER HALF.
+
+    Exactly equivalent to two sequential discriminator_apply calls (ref
+    image_translation.py:353-361 order): train-mode BN normalizes each
+    half with its own batch statistics, and each layer's running stats
+    take the real update then the fake update — the same two updates the
+    sequential calls make. The batch dim is parallel (never reduced) in
+    convolutions, so per-sample conv math is unchanged.
+
+    Returns ((prob_real, feats_real), (prob_fake, feats_fake), new_state).
+    """
+    cd = policy.compute_dtype
+    n = x_real.shape[0]
+    h = jnp.concatenate([x_real, x_fake], axis=0).astype(cd)
+
+    feats_r, feats_f = [], []
+    new_states = []
+    for i, layer in enumerate(params["trunk"]):
+        h = conv2d(h, layer["w"], stride=2, padding=1, policy=policy)
+        h = checkpoint_name(h, "conv_out")
+        if "bn" in layer:
+            hr, st = batchnorm_apply(
+                layer["bn"], state["trunk"][i], h[:n], training=training,
+                out_dtype=cd, axis_name=axis_name)
+            hf, st = batchnorm_apply(
+                layer["bn"], st, h[n:], training=training,
+                out_dtype=cd, axis_name=axis_name)
+            h = jnp.concatenate([hr, hf], axis=0)
+        else:
+            st = state["trunk"][i]
+            h = h.astype(cd)
+        h = leaky_relu(h, 0.2)
+        if "bn" in layer:
+            feats_r.append(h[:n])
+            feats_f.append(h[n:])
+        new_states.append(st)
+
+    from ..ops.sharding import constrain_latent
+
+    logits = conv2d(h, params["head"]["w"], stride=1, padding=0, policy=policy)
+    prob = constrain_latent(sigmoid(logits.astype(jnp.float32)))
+    return ((prob[:n], feats_r), (prob[n:], feats_f), {"trunk": new_states})

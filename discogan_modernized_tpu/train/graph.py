@@ -173,7 +173,8 @@ def discogan_losses_paired(models, model_states, A, B, *, policy: Policy = F32,
 def discogan_losses(models, model_states, A, B, *, policy: Policy = F32,
                     skip_first_fm: bool = False, axis_name: str | None = None,
                     remat: bool = False, remat_policy: str | None = None,
-                    remat_dis: bool | None = None, dis_only: bool = False):
+                    remat_dis: bool | None = None, dis_only: bool = False,
+                    concat_dis: bool = False):
     """Run the full forward graph.
 
     dis_only=True (the opt-in "lean" D-step, TrainConfig.lean_dis) skips
@@ -214,6 +215,12 @@ def discogan_losses(models, model_states, A, B, *, policy: Policy = F32,
     def d_apply(p, s, x):
         return discriminator_apply(p, s, x, **kw)
 
+    if concat_dis:
+        from ..models.discriminator import discriminator_apply_pair
+
+        def d_pair(p, s, xr, xf):
+            return discriminator_apply_pair(p, s, xr, xf, **kw)
+
     if remat:
         g_policy, d_policy = _checkpoint_policies(remat_policy)
         g_apply = jax.checkpoint(g_apply, policy=g_policy)
@@ -226,6 +233,8 @@ def discogan_losses(models, model_states, A, B, *, policy: Policy = F32,
         # every D-forward recompute from both branch backwards.
         if remat_dis is None or remat_dis:
             d_apply = jax.checkpoint(d_apply, policy=d_policy)
+            if concat_dis:
+                d_pair = jax.checkpoint(d_pair, policy=d_policy)
 
     AB, gb_s1 = g_apply(models["gen_B"], model_states["gen_B"], A)
     BA, ga_s1 = g_apply(models["gen_A"], model_states["gen_A"], B)
@@ -239,17 +248,25 @@ def discogan_losses(models, model_states, A, B, *, policy: Policy = F32,
         recon_A = mse_loss(ABA, A)
         recon_B = mse_loss(BAB, B)
 
-    (A_real, A_feats_real), da_s1 = d_apply(
-        models["dis_A"], model_states["dis_A"], A)
-    (A_fake, A_feats_fake), da_s2 = d_apply(models["dis_A"], da_s1, BA)
+    if concat_dis:
+        # Both forwards of each D in one conv-batched pass (2B effective
+        # MXU batch), BN statistics per half — exactly the sequential
+        # real-then-fake semantics (models/discriminator.py).
+        (A_real, A_feats_real), (A_fake, A_feats_fake), da_s2 = d_pair(
+            models["dis_A"], model_states["dis_A"], A, BA)
+        (B_real, B_feats_real), (B_fake, B_feats_fake), db_s2 = d_pair(
+            models["dis_B"], model_states["dis_B"], B, AB)
+    else:
+        (A_real, A_feats_real), da_s1 = d_apply(
+            models["dis_A"], model_states["dis_A"], A)
+        (A_fake, A_feats_fake), da_s2 = d_apply(models["dis_A"], da_s1, BA)
+        (B_real, B_feats_real), db_s1 = d_apply(
+            models["dis_B"], model_states["dis_B"], B)
+        (B_fake, B_feats_fake), db_s2 = d_apply(models["dis_B"], db_s1, AB)
     dis_loss_A, gen_loss_A = gan_losses(A_real, A_fake)
     fm_loss_A = feature_matching_loss(
         A_feats_real, A_feats_fake, skip_first=skip_first_fm, axis_name=axis_name
     )
-
-    (B_real, B_feats_real), db_s1 = d_apply(
-        models["dis_B"], model_states["dis_B"], B)
-    (B_fake, B_feats_fake), db_s2 = d_apply(models["dis_B"], db_s1, AB)
     dis_loss_B, gen_loss_B = gan_losses(B_real, B_fake)
     fm_loss_B = feature_matching_loss(
         B_feats_real, B_feats_fake, skip_first=skip_first_fm, axis_name=axis_name

@@ -78,6 +78,14 @@ class TrainConfig:
     # pass — numerically equivalent, fewer/bigger kernels (graph.py
     # discogan_losses_paired).
     paired: bool = False
+    # Run each discriminator's real+fake forwards as ONE conv-batched
+    # pass (2B effective MXU batch) with per-half BN statistics — exactly
+    # the sequential semantics (models/discriminator.py
+    # discriminator_apply_pair). Measured 2.2% SLOWER at 64px b64 (XLA
+    # already overlaps the independent forwards; the concat/slice
+    # relayout costs an extra HBM pass — PERF.md), so off by default.
+    # Env override: DISCOGAN_CONCAT_DIS=0/1.
+    concat_dis: bool = False
     # Opt-in lean D-step: skip the ABA/BAB reconstruction forwards on
     # non-logged discriminator iterations. The weight trajectory is
     # bit-identical (training-mode BN uses batch stats; dis_loss never
@@ -153,14 +161,20 @@ def _forward(models, states, A, B, rate, cfg: TrainConfig, policy: Policy,
              dis_only: bool = False):
     from .graph import discogan_losses_paired
 
+    import os
+
     sync_axis = cfg.axis_name if cfg.bn_sync else None
     loss_graph = discogan_losses_paired if cfg.paired else discogan_losses
+    extra = {}
+    if not cfg.paired:
+        env = os.environ.get("DISCOGAN_CONCAT_DIS")
+        extra["concat_dis"] = (env != "0") if env is not None else cfg.concat_dis
     losses, new_states = loss_graph(
         models, states, A, B,
         policy=policy, skip_first_fm=cfg.skip_first_fm, axis_name=sync_axis,
         remat=cfg.use_remat, remat_policy=cfg.remat_policy,
         remat_dis=_resolve_remat_dis(cfg, A.shape[0], policy),
-        dis_only=dis_only,
+        dis_only=dis_only, **extra,
     )
     gen_total, dis_total = mix_losses(losses, rate, cfg.model_arch)
     losses = dict(losses, gen_total=gen_total, dis_total=dis_total)

@@ -149,3 +149,33 @@ def test_conv2d_narrow_input_custom_vjp_grads_match_torch():
     np.testing.assert_allclose(
         np.asarray(gw), wt.grad.numpy().transpose(2, 3, 1, 0),
         rtol=1e-4, atol=1e-4)
+
+
+def test_discriminator_pair_matches_sequential():
+    """discriminator_apply_pair (conv-batched real+fake with per-half BN)
+    must reproduce two sequential forwards to f32 rounding: probs, features,
+    and the real-then-fake running-stat updates."""
+    import jax
+
+    from discogan_modernized_tpu.core.precision import F32
+    from discogan_modernized_tpu.models.discriminator import (
+        discriminator_init, discriminator_apply, discriminator_apply_pair)
+
+    rng = np.random.RandomState(3)
+    p, s = discriminator_init(jax.random.PRNGKey(1), 32)
+    xr = jnp.asarray(rng.rand(4, 32, 32, 3), jnp.float32)
+    xf = jnp.asarray(rng.rand(4, 32, 32, 3), jnp.float32)
+
+    (pr, fr), s1 = discriminator_apply(p, s, xr, policy=F32)
+    (pf, ff), s2 = discriminator_apply(p, s1, xf, policy=F32)
+    (Pr, Fr), (Pf, Ff), sp = discriminator_apply_pair(p, s, xr, xf, policy=F32)
+
+    # Equal to f32 rounding: the batched conv may tile/reassociate
+    # differently than the per-forward convs on a given backend.
+    tol = dict(rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pr), np.asarray(Pr), **tol)
+    np.testing.assert_allclose(np.asarray(pf), np.asarray(Pf), **tol)
+    for a, b in zip(fr + ff, Fr + Ff):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), **tol)
+    for a, b in zip(jax.tree.leaves(s2), jax.tree.leaves(sp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), **tol)
