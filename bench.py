@@ -148,27 +148,30 @@ def measure_train(image_size: int, batch: int, n_steps: int = 400,
     # the device: at 512px b32 the scan program exceeds HBM at compile
     # time, and a fallback after a real attempt would transiently
     # co-reside two ~8GB train states (tunnel buffer deletion is async)
-    # and RESOURCE_EXHAUSTED the per-step path too.
-    sds = jax.ShapeDtypeStruct
-    abstract_args = (
-        jax.eval_shape(lambda: init_train_state(jax.random.PRNGKey(0), cfg)),
-        sds((n_data, image_size, image_size, 3), jnp.float32),
-        sds((n_data, image_size, image_size, 3), jnp.float32),
-        sds((steps_per_call, batch), jnp.int32),
-        sds((steps_per_call, batch), jnp.int32),
-        sds((), jnp.int32),
-    )
-    try:
-        multi.lower(*abstract_args).compile()
-    except Exception as e:
-        import sys
+    # and RESOURCE_EXHAUSTED the per-step path too. Small sizes never
+    # compile-OOM, so they skip the probe (a duplicate compile).
+    if image_size >= 256:
+        sds = jax.ShapeDtypeStruct
+        abstract_args = (
+            jax.eval_shape(lambda: init_train_state(jax.random.PRNGKey(0),
+                                                    cfg)),
+            sds((n_data, image_size, image_size, 3), jnp.float32),
+            sds((n_data, image_size, image_size, 3), jnp.float32),
+            sds((steps_per_call, batch), jnp.int32),
+            sds((steps_per_call, batch), jnp.int32),
+            sds((), jnp.int32),
+        )
+        try:
+            multi.lower(*abstract_args).compile()
+        except Exception as e:
+            import sys
 
-        print(f"# scan program failed to compile ({type(e).__name__}); "
-              f"falling back to per-step measurement",
-              file=sys.stderr, flush=True)
-        return measure_train_per_step(image_size, batch,
-                                      n_steps=max(10, n_steps // 5),
-                                      warmup=max(2, warmup // 2))
+            print(f"# scan program failed to compile ({type(e).__name__}); "
+                  f"falling back to per-step measurement",
+                  file=sys.stderr, flush=True)
+            return measure_train_per_step(image_size, batch,
+                                          n_steps=max(10, n_steps // 5),
+                                          warmup=max(2, warmup // 2))
 
     ts = init_train_state(jax.random.PRNGKey(0), cfg)
     rng = np.random.RandomState(0)

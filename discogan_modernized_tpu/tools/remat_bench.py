@@ -78,9 +78,12 @@ def main():
             # One train state at a time: a 512px state is ~8GB of HBM
             # (params + Adam moments for 4 networks); co-residing one per
             # policy exhausts the chip. The jit caches keep each policy's
-            # compiled programs warm across rounds.
-            ts = init_train_state(jax.random.PRNGKey(0), cfgs[name])
+            # compiled programs warm across rounds. init itself is inside
+            # the try — after another policy's OOM, the allocation is the
+            # likeliest failure site and must not kill the comparison.
+            ts = None
             try:
+                ts = init_train_state(jax.random.PRNGKey(0), cfgs[name])
                 ts = run_block(name, ts, 0)  # warm (compile rnd 0) + settle
                 t0 = time.perf_counter()
                 ts = run_block(name, ts, args.steps)

@@ -379,26 +379,32 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
         # compile time (~367MB over, mostly layout padding), and finding
         # that out after allocating the device cache risks transient
         # co-residency OOMs (tunnel buffer deletion is async). The real
-        # call after a successful probe hits the persistent compile cache.
-        sds = jax.ShapeDtypeStruct
-        nA, nB = len(loader.data_A), len(loader.data_B)
-        sz, bs = args.image_size, args.batch_size
-        abstract = (
-            jax.tree.map(lambda x: sds(x.shape, x.dtype), ts),
-            sds((nA, sz, sz, 3), jnp.float32),
-            sds((nB, sz, sz, 3), jnp.float32),
-            sds((steps_per_call, bs), jnp.int32),
-            sds((steps_per_call, bs), jnp.int32),
-            sds((), jnp.int32),
-        )
-        try:
-            scan_prog(steps_per_call).lower(*abstract).compile()
-        except Exception as e:
-            print(f"경고: 다단계 scan 프로그램 컴파일 실패 — 단일 스텝 "
-                  f"경로로 폴백합니다 ({type(e).__name__}: {str(e)[:120]})")
-            scan_progs.clear()
-            loader.release_device_cache()
-            scan_eligible = False
+        # call after a successful probe hits the persistent compile
+        # cache. Only probed in the at-risk regime (>= 256px, where a
+        # user forced --steps_per_call) — small sizes never compile-OOM
+        # and would pay the probe as a duplicate compile on fast-compile
+        # backends (CPU tests fall under the 1s persistent-cache floor).
+        if args.image_size >= 256:
+            sds = jax.ShapeDtypeStruct
+            nA, nB = len(loader.data_A), len(loader.data_B)
+            sz, bs = args.image_size, args.batch_size
+            abstract = (
+                jax.tree.map(lambda x: sds(x.shape, x.dtype), ts),
+                sds((nA, sz, sz, 3), jnp.float32),
+                sds((nB, sz, sz, 3), jnp.float32),
+                sds((steps_per_call, bs), jnp.int32),
+                sds((steps_per_call, bs), jnp.int32),
+                sds((), jnp.int32),
+            )
+            try:
+                scan_prog(steps_per_call).lower(*abstract).compile()
+            except Exception as e:
+                print(f"경고: 다단계 scan 프로그램 컴파일 실패 — 단일 스텝 "
+                      f"경로로 폴백합니다 "
+                      f"({type(e).__name__}: {str(e)[:120]})")
+                scan_progs.clear()
+                loader.release_device_cache()
+                scan_eligible = False
 
     if steps_per_call > 1 and scan_eligible:
         dev_A, dev_B = loader.device_data()
@@ -438,6 +444,11 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
                 # PERF.md). Before any step ran, fall back to the
                 # per-step path; donated buffers are untouched on a
                 # compile failure, so the train state is still valid.
+                # A RUNTIME failure after dispatch, however, consumes the
+                # donated state — no fallback is possible then.
+                if any(getattr(x, "is_deleted", lambda: False)()
+                       for x in jax.tree.leaves(ts)):
+                    raise
                 if iters == start_iters:
                     print(f"경고: 다단계 scan 프로그램 컴파일 실패 — "
                           f"단일 스텝 경로로 폴백합니다 "

@@ -118,9 +118,13 @@ def test_lean_dis_cli_e2e(tmp_path):
 
     from discogan_modernized_tpu.cli.image_translation import main
 
+    # log_interval=4 is coprime with update_interval=3, so D iterations
+    # 3, 6, 9, ... really take the LEAN branch (iteration 0 and 12 are
+    # logged D iterations and take the full graph) — with log_interval=3
+    # every D iteration would be logged and the lean path never executed.
     result_path, model_path = main([
         "--task_name=synthetic", "--model_arch=discogan", "--image_size=16",
-        "--batch_size=8", "--epochs=2", "--log_interval=3",
+        "--batch_size=8", "--epochs=2", "--log_interval=4",
         "--image_save_interval=100", "--model_save_interval=100",
         f"--results_dir={tmp_path}/results", f"--models_dir={tmp_path}/models",
         "--precision=f32", "--lean_dis",
