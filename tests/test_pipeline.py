@@ -69,3 +69,40 @@ def test_epoch_shuffle_is_unpaired():
     # Contents preserved under independent permutations.
     assert sorted(A1.sum(axis=(1, 2, 3)).tolist()) == \
         pytest.approx(sorted(a.sum(axis=(1, 2, 3)).tolist()))
+
+
+def test_device_cache_bf16_opt_in(monkeypatch):
+    """DISCOGAN_DEVICE_CACHE_BF16=1 stores the HBM-resident dataset in
+    bf16: half the budget per image, gathered batches feed a train step
+    unchanged (the step casts inputs to the compute dtype anyway)."""
+    import jax
+    import jax.numpy as jnp
+
+    from discogan_modernized_tpu.data.pipeline import PrefetchLoader
+    from discogan_modernized_tpu.train import (
+        TrainConfig, init_train_state, make_train_steps)
+
+    rng = np.random.RandomState(0)
+    data = rng.rand(12, 16, 16, 3).astype(np.float32)
+
+    monkeypatch.setenv("DISCOGAN_DEVICE_CACHE_BF16", "1")
+    # Budget that fits only in bf16: 24 images * 16*16*3 * 2B = 36,864.
+    monkeypatch.setenv("DISCOGAN_DEVICE_CACHE_BUDGET", "40000")
+    loader = PrefetchLoader(data, data, 4, 16)
+    assert loader.device_cache
+    dev_A, dev_B = loader.device_data()
+    assert dev_A.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(dev_A, np.float32), data,
+                               atol=4e-3)  # bf16 rounding of [0,1] values
+
+    # The same budget in f32 must NOT fit.
+    monkeypatch.setenv("DISCOGAN_DEVICE_CACHE_BF16", "0")
+    assert not PrefetchLoader(data, data, 4, 16)._fits_device_budget()
+
+    cfg = TrainConfig(image_size=16, precision="f32")
+    ts = init_train_state(jax.random.PRNGKey(0), cfg)
+    gen_step, _ = make_train_steps(cfg)
+    A = jnp.take(dev_A, jnp.arange(4), axis=0)
+    B = jnp.take(dev_B, jnp.arange(4, 8), axis=0)
+    ts, losses = gen_step(ts, A, B, jnp.float32(0.01))
+    assert np.isfinite(float(losses["gen_total"]))
