@@ -253,13 +253,20 @@ def measure_train_with_decode(image_size: int, batch: int,
         n_epoch = loader.n_batches
 
         # Compile the scan program on synthetic device data first so the
-        # cold number isolates the input pipeline, not XLA.
+        # cold number isolates the input pipeline, not XLA. The dummy
+        # dataset must have the REAL dataset's leading dimension — a
+        # different shape would be a jit cache miss and the cold window
+        # would time a recompile instead of the pipeline.
         rng = np.random.RandomState(0)
-        dummy_A = jnp.asarray(rng.rand(8, image_size, image_size, 3), jnp.float32)
-        dummy_B = jnp.asarray(rng.rand(8, image_size, image_size, 3), jnp.float32)
-        di = jnp.asarray(rng.randint(0, 8, (k, batch)), jnp.int32)
+        nd = len(files)
+        dummy_A = jnp.asarray(rng.rand(nd, image_size, image_size, 3),
+                              jnp.float32)
+        dummy_B = jnp.asarray(rng.rand(nd, image_size, image_size, 3),
+                              jnp.float32)
+        di = jnp.asarray(rng.randint(0, nd, (k, batch)), jnp.int32)
         ts, losses = multi(ts, dummy_A, dummy_B, di, di, jnp.int32(0))
         _ = float(losses["gen_total"][-1])
+        del dummy_A, dummy_B
 
         def index_stream():
             while True:

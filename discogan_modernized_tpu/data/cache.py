@@ -85,24 +85,104 @@ class DecodedCache:
         root.mkdir(parents=True, exist_ok=True)
 
         nbytes = int(np.prod(self.shape)) * 4 + n
-        exists = self.data_path.exists() and self.status_path.exists() \
-            and self.data_path.stat().st_size == nbytes - n
-        if not exists:
+        if not self._complete():
             free = shutil.disk_usage(root).free
             if nbytes > free * 0.8:
                 raise OSError(
                     f"decoded-sample cache needs {nbytes / 1e9:.1f} GB, "
                     f"only {free / 1e9:.1f} GB free under {root}")
-        mode = "r+" if exists else "w+"
-        self.data = np.memmap(self.data_path, dtype=np.float32, mode=mode,
+            # Serialize CREATION under an exclusive-create lock: if two
+            # processes (concurrent HP-search trials of the same task)
+            # both miss, the second 'w+' open would TRUNCATE data the
+            # first already wrote through its live mapping — a zeroed
+            # sample could then be recorded STATUS_OK forever. Once the
+            # files exist at full size, concurrent 'r+' writers are safe:
+            # decode is deterministic (identical bytes) and validity is
+            # per-sample via the status flags.
+            self._create_locked(root, digest)
+            self._evict_stale(root, digest)
+        self.data = np.memmap(self.data_path, dtype=np.float32, mode="r+",
                               shape=self.shape)
-        self.status = np.memmap(self.status_path, dtype=np.uint8, mode=mode,
-                                shape=(n,))
+        self.status = np.memmap(self.status_path, dtype=np.uint8, mode="r+",
+                                shape=(len(self.paths),))
         meta = root / f"{digest}.json"
         if not meta.exists():
             meta.write_text(json.dumps({
                 "domain": domain, "image_size": image_size, "n": n,
                 "first_path": self.paths[0] if self.paths else None}))
+
+    def _complete(self) -> bool:
+        """Both backing files exist at their final size."""
+        n = len(self.paths)
+        try:
+            return (self.data_path.stat().st_size
+                    == int(np.prod(self.shape)) * 4
+                    and self.status_path.stat().st_size == n)
+        except OSError:
+            return False
+
+    def _create_locked(self, root: Path, digest: str):
+        """Allocate the backing files exactly once across processes."""
+        import time
+
+        lock = root / f"{digest}.lock"
+        deadline = time.time() + 600
+        while not self._complete():
+            try:
+                fd = os.open(str(lock), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+            except FileExistsError:
+                # Another process is creating; wait (steal stale locks
+                # left by a crashed creator).
+                try:
+                    if time.time() - lock.stat().st_mtime > 120:
+                        lock.unlink()
+                        continue
+                except OSError:
+                    continue
+                if time.time() > deadline:
+                    raise OSError(f"timed out waiting for cache creation "
+                                  f"lock {lock}")
+                time.sleep(0.1)
+                continue
+            try:
+                if not self._complete():
+                    # memmap 'w+' allocates the full file immediately;
+                    # flush + close so _complete() holds for everyone.
+                    np.memmap(self.data_path, dtype=np.float32, mode="w+",
+                              shape=self.shape).flush()
+                    np.memmap(self.status_path, dtype=np.uint8, mode="w+",
+                              shape=(len(self.paths),)).flush()
+            finally:
+                try:
+                    lock.unlink()
+                except OSError:
+                    pass
+            return
+
+    def _evict_stale(self, root: Path, digest: str):
+        """Delete older cache generations of the SAME dataset.
+
+        Touching/re-exporting a source image changes the fingerprint, so
+        without eviction every edit would orphan a full-dataset-size
+        memmap forever. Identity = (first_path, domain, image_size, n)
+        recorded in each digest's meta json."""
+        ident = {"domain": self.domain, "image_size": self.image_size,
+                 "n": len(self.paths),
+                 "first_path": self.paths[0] if self.paths else None}
+        for meta in root.glob("*.json"):
+            if meta.stem == digest:
+                continue
+            try:
+                other = json.loads(meta.read_text())
+            except (OSError, ValueError):
+                continue
+            if all(other.get(k) == v for k, v in ident.items()):
+                for suffix in (".dat", ".status", ".json", ".lock"):
+                    try:
+                        (root / (meta.stem + suffix)).unlink()
+                    except OSError:
+                        pass
 
     def load(self, path: str):
         i = self.index.get(str(path))

@@ -144,8 +144,6 @@ class PrefetchLoader:
         import jax
         import jax.numpy as jnp
 
-        from .preprocess import decode_image
-
         dtype = self._device_dtype()
 
         def build(data, is_paths, domain, cache):
@@ -156,26 +154,14 @@ class PrefetchLoader:
             chunk = 256
             paths = [str(p) for p in data]
             for i in range(0, len(paths), chunk):
-                part = paths[i:i + chunk]
-                arrs = []
-                for p in part:
-                    arr = None
-                    if cache is not None:
-                        st, hit = cache.load(p)
-                        if st == 1:
-                            arr = hit
-                        elif st != 2:
-                            arr = decode_image(p, domain, self.image_size,
-                                               on_error="none")
-                            cache.store(p, arr)
-                    else:
-                        arr = decode_image(p, domain, self.image_size,
-                                           on_error="none")
-                    if arr is None:
-                        arr = np.random.rand(
+                # Thread-pool decode through the shared path (cache
+                # read/fill + parallel workers — the one-time cold decode
+                # is the only decode cost the scan path ever pays).
+                arrs = self._decode_paths(paths[i:i + chunk], domain, cache)
+                arrs = [a if a is not None else np.random.rand(
                             self.image_size, self.image_size, 3
                         ).astype(np.float32)
-                    arrs.append(arr)
+                        for a in arrs]
                 chunks.append(jax.device_put(np.stack(arrs).astype(dtype)))
             return jnp.concatenate(chunks, axis=0) if len(chunks) > 1 \
                 else chunks[0]
@@ -215,7 +201,7 @@ class PrefetchLoader:
             return np.random.permutation(nA), np.random.permutation(nB)
         return np.arange(nA), np.arange(nB)
 
-    def _device_epoch(self, shuffle: bool):
+    def _device_epoch(self, shuffle: bool, skip: int = 0):
         """On-device batch gathering: per-domain permutations generated on
         host (same unpaired-shuffle semantics as shuffle_data), batches
         sliced out of the HBM-resident dataset — no image bytes cross the
@@ -228,7 +214,7 @@ class PrefetchLoader:
         pa = np.random.permutation(nA) if shuffle else np.arange(nA)
         pb = np.random.permutation(nB) if shuffle else np.arange(nB)
         b = self.batch_size
-        for i in range(self.n_batches):
+        for i in range(skip, self.n_batches):
             ia = jnp.asarray(pa[i * b:(i + 1) * b])
             ib = jnp.asarray(pb[i * b:(i + 1) * b])
             yield self._dev_A[ia], self._dev_B[ib]
@@ -281,14 +267,17 @@ class PrefetchLoader:
             return np.asarray(batch, np.float32)
         return self._decode_paths([str(p) for p in batch], domain, cache)
 
-    def epoch(self, shuffle: bool = True):
+    def epoch(self, shuffle: bool = True, skip: int = 0):
         """Yield (A, B) batches; independent per-domain shuffle each epoch
-        (unpaired training, ref dataset.py:24-35)."""
+        (unpaired training, ref dataset.py:24-35). skip: start at batch
+        index `skip` WITHOUT decoding/transferring the skipped prefix
+        (mid-epoch --resume; shuffles are fresh per epoch, so skipping by
+        index loses nothing)."""
         if self.device_cache:
-            return self._device_epoch(shuffle)
-        return self._host_epoch(shuffle)
+            return self._device_epoch(shuffle, skip)
+        return self._host_epoch(shuffle, skip)
 
-    def _host_epoch(self, shuffle: bool):
+    def _host_epoch(self, shuffle: bool, skip: int = 0):
         da, db = (shuffle_data(self.data_A, self.data_B) if shuffle
                   else (self.data_A, self.data_B))
         n = self.n_batches
@@ -297,7 +286,7 @@ class PrefetchLoader:
 
         def producer():
             try:
-                for i in range(n):
+                for i in range(skip, n):
                     if stop.is_set():
                         return
                     sl = slice(i * self.batch_size, (i + 1) * self.batch_size)

@@ -107,6 +107,13 @@ def make_gspmd_train_steps(cfg: TrainConfig, mesh, policy: Policy | None = None,
             # channels don't divide (the 1-ch head). A fully REPLICATED
             # pin is NOT safe — it reproduces the measured 0.2-level
             # gradient corruption test_gspmd's m-gate guards against.
+            if not spatial:
+                # Channel-sharded TP has no layout flip-flop: the latent
+                # shardings propagate consistently from the channel-
+                # sharded kernels, and a forced batch-only pin could only
+                # insert reshards into the hot path. Pin nothing.
+                return raw_body(ts, A, B, rate)
+
             from ..ops.sharding import (set_latent_constraint,
                                         reset_latent_constraint)
 
@@ -114,7 +121,7 @@ def make_gspmd_train_steps(cfg: TrainConfig, mesh, policy: Policy | None = None,
 
             def pin(x):
                 spec = (P(DATA_AXIS, None, None, MODEL_AXIS)
-                        if spatial and x.shape[-1] % tp == 0
+                        if x.shape[-1] % tp == 0
                         else P(DATA_AXIS))
                 return jax.lax.with_sharding_constraint(
                     x, NamedSharding(mesh, spec))

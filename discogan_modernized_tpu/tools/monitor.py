@@ -155,6 +155,8 @@ class Monitor:
         # the training-log-derived utilization proxy (the tunnel backend
         # exposes no device util/temp, ref gpu_monitor.py:41-66 analog).
         self.progress: dict[int, tuple[int, float, int]] = {}
+        self._log_gap: dict[int, float] = {}  # last observed Iter-line gap
+        self._alerted: set[int] = set()  # pids alerted this stall episode
         self.stop_event = threading.Event()
 
     def log(self, msg: str):
@@ -206,10 +208,24 @@ class Monitor:
                 prev_it, prev_t, stalled = prev
                 if it > prev_it and now > prev_t:
                     job["step_rate"] = (it - prev_it) / (now - prev_t)
+                    # Remember the job's own log cadence: a healthy slow
+                    # job (512px + large --log_interval) can legitimately
+                    # go many polls between Iter lines.
+                    self._log_gap[pid] = now - prev_t
+                    self._alerted.discard(pid)
                     stalled = 0
                 else:
                     stalled += 1
-                    if stalled == self.args.stall_polls:
+                    # Stall = no new line for stall_polls polls AND at
+                    # least 3x the job's last observed inter-line gap —
+                    # poll counts alone misfire whenever log cadence
+                    # exceeds stall_polls * interval (512px + large
+                    # --log_interval). One alert per stall episode.
+                    gap_floor = 3.0 * self._log_gap.get(pid, 0.0)
+                    if (stalled >= self.args.stall_polls
+                            and now - prev_t >= gap_floor
+                            and pid not in self._alerted):
+                        self._alerted.add(pid)
                         self.log(f"경고: PID {pid} ({job.get('task_name')}) "
                                  f"학습 정체 — {stalled}회 폴링 동안 "
                                  f"iter {it}에서 진행 없음")
@@ -222,6 +238,7 @@ class Monitor:
         for pid in list(self.progress):
             if pid not in live:
                 del self.progress[pid]
+                self._log_gap.pop(pid, None)
 
     def poll_once(self):
         snap = {

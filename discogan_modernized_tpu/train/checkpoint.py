@@ -68,10 +68,12 @@ def load_reference_weights(path, name, image_size):
     torch checkpoints (including ones produced by the PyTorch reference).
 
     Raw pickle is used only when torch is not importable (matching the
-    torch-free save path above) or with DISCOGAN_ALLOW_PICKLE=1 — a failed
-    torch.load(weights_only=True) is NOT silently retried through pickle,
-    which would reopen the arbitrary-code-execution path weights_only
-    exists to close."""
+    torch-free save path above), or as an explicit opt-in FALLBACK with
+    DISCOGAN_ALLOW_PICKLE=1 — torch.load(weights_only=True) is still
+    tried first so genuine torch checkpoints keep loading, and a failed
+    safe load is never silently retried through pickle without the
+    opt-in (that would reopen the arbitrary-code-execution path
+    weights_only exists to close)."""
     import os
 
     path = Path(path)
@@ -79,12 +81,19 @@ def load_reference_weights(path, name, image_size):
         import torch
     except ImportError:
         torch = None
-    if torch is None or os.environ.get("DISCOGAN_ALLOW_PICKLE") == "1":
+    allow_pickle = os.environ.get("DISCOGAN_ALLOW_PICKLE") == "1"
+    if torch is None:
         with open(path, "rb") as f:
             sd = pickle.load(f)
     else:
-        raw = torch.load(path, map_location="cpu", weights_only=True)
-        sd = {k: np.asarray(v) for k, v in raw.items()}
+        try:
+            raw = torch.load(path, map_location="cpu", weights_only=True)
+            sd = {k: np.asarray(v) for k, v in raw.items()}
+        except Exception:
+            if not allow_pickle:
+                raise
+            with open(path, "rb") as f:
+                sd = pickle.load(f)
     return _from_state_dict(name, sd, image_size)
 
 

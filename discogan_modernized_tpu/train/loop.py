@@ -529,10 +529,11 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
         # scan compile failed: continue into the per-step loop below.
 
     for epoch in range(start_epoch, args.epochs):
-        it = loader.epoch()
+        # skip= jumps past the already-trained prefix by INDEX — resume
+        # does not decode/transfer the discarded batches (shuffles are
+        # fresh per epoch, so index-skipping loses nothing).
+        it = loader.epoch(skip=skip_batches)
         steps_this_epoch = n_batches - skip_batches
-        for _ in range(skip_batches):  # consume the already-trained prefix
-            next(it)
         skip_batches = 0
         prog = tqdm(range(steps_this_epoch),
                     desc=f"Epoch {epoch+1}/{args.epochs}") \

@@ -7,6 +7,7 @@ import time
 import numpy as np
 import pytest
 from PIL import Image
+from pathlib import Path
 
 from discogan_modernized_tpu.data.pipeline import PrefetchLoader
 
@@ -158,3 +159,52 @@ def test_cache_opt_out(ab_files, cache_dir, monkeypatch):
     _ = list(loader.epoch(shuffle=False))
     assert calls["n"] == 2 * n0  # every epoch re-decodes without the cache
     assert not list(cache_dir.glob("*.dat"))
+
+
+def test_cache_creation_is_race_safe(tmp_path):
+    """A second DecodedCache over the same dataset must NOT truncate data
+    the first already wrote (the 'w+' race: creation is serialized by an
+    exclusive lock, later opens are 'r+')."""
+    from discogan_modernized_tpu.data.cache import DecodedCache
+
+    paths = [str(tmp_path / f"img{i}.jpg") for i in range(3)]
+    for p in paths:
+        Path(p).write_bytes(b"x")
+
+    c1 = DecodedCache(paths, "B", 8, root=tmp_path / "cache")
+    arr = np.full((8, 8, 3), 0.5, np.float32)
+    c1.store(paths[0], arr)
+    c1.flush()
+
+    c2 = DecodedCache(paths, "B", 8, root=tmp_path / "cache")
+    st, got = c2.load(paths[0])
+    assert st == 1
+    np.testing.assert_array_equal(got, arr)
+    # And c1's live mapping still reads its own write.
+    st, got = c1.load(paths[0])
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_cache_evicts_stale_generation(tmp_path):
+    """Re-touching a source file changes the fingerprint; the new cache
+    generation deletes the orphaned previous one (same dataset identity)."""
+    from discogan_modernized_tpu.data.cache import DecodedCache
+
+    paths = [str(tmp_path / f"img{i}.jpg") for i in range(3)]
+    for p in paths:
+        Path(p).write_bytes(b"x")
+    root = tmp_path / "cache"
+
+    c1 = DecodedCache(paths, "B", 8, root=root)
+    old_dat = c1.data_path
+    assert old_dat.exists()
+    del c1
+
+    st = os.stat(paths[1])
+    os.utime(paths[1], ns=(st.st_atime_ns, st.st_mtime_ns + 10**9))
+    c2 = DecodedCache(paths, "B", 8, root=root)
+    assert c2.data_path != old_dat
+    assert not old_dat.exists()  # stale generation evicted
+    # A DIFFERENT dataset's cache must not be touched.
+    other = DecodedCache(paths[:2], "A", 8, root=root)
+    assert other.data_path.exists() and c2.data_path.exists()

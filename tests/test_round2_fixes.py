@@ -47,7 +47,12 @@ def test_monitor_step_rate_proxy_and_stall_alert(tmp_path):
     assert job2["iters"] == 30
     assert job2["step_rate"] > 0  # utilization proxy derived from the log
 
-    # No progress for --stall-polls consecutive polls -> alert logged.
+    # No progress for --stall-polls consecutive polls AND silence of at
+    # least 3x the job's observed log cadence -> alert logged. (The gap
+    # floor keeps healthy slow-cadence jobs — 512px + large
+    # --log_interval — from misfiring; here the observed cadence is
+    # milliseconds, so a short sleep satisfies it.)
+    time.sleep(3.0 * mon._log_gap[77] + 0.05)
     for _ in range(2):
         mon.update_job_progress([dict(job)])
     assert "정체" in (tmp_path / "logs" / "monitor.log").read_text()
