@@ -126,18 +126,29 @@ def main():
         ts, losses = fns[v](ts, data_A, data_B, ia, ib, jnp.int32(it0))
         return ts, losses
 
-    # Warm/compile each variant under its env value.
+    # Warm/compile each variant under its env value. A variant that
+    # OOMs or fails to compile is marked dead and reported as null
+    # instead of killing the comparison (e.g. probing a batch size past
+    # the HBM boundary).
+    dead = set()
     for v in values:
         if args.var:
             os.environ[args.var] = v
-        ts = init_train_state(jax.random.PRNGKey(0), cfgs[v]) if fresh_state \
-            else states[v]
-        ts, losses = one_call(v, ts, 0)
-        _ = float(losses["gen_total"][-1])
-        if fresh_state:
+        ts = None
+        try:
+            ts = init_train_state(jax.random.PRNGKey(0), cfgs[v]) if \
+                fresh_state else states[v]
+            ts, losses = one_call(v, ts, 0)
+            _ = float(losses["gen_total"][-1])
+            if fresh_state:
+                del ts
+            else:
+                states[v] = ts
+        except Exception as e:
+            print(f"warm {label}={v}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:160]}", flush=True)
+            dead.add(v)
             del ts
-        else:
-            states[v] = ts
     if args.var:
         if orig is None:
             os.environ.pop(args.var, None)
@@ -147,29 +158,42 @@ def main():
     results = {v: [] for v in values}
     for rnd in range(args.rounds):
         for v in values:
-            if fresh_state:
-                ts = init_train_state(jax.random.PRNGKey(0), cfgs[v])
-                ts, losses = one_call(v, ts, 0)  # settle (no compile now)
+            if v in dead:
+                continue
+            ts = None
+            try:
+                if fresh_state:
+                    ts = init_train_state(jax.random.PRNGKey(0), cfgs[v])
+                    ts, losses = one_call(v, ts, 0)  # settle (no compile)
+                    _ = float(losses["gen_total"][-1])
+                else:
+                    ts = states[v]
+                t0 = time.perf_counter()
+                for c in range(args.calls):
+                    ts, losses = one_call(v, ts,
+                                          (rnd * args.calls + c + 1) * k)
                 _ = float(losses["gen_total"][-1])
-            else:
-                ts = states[v]
-            t0 = time.perf_counter()
-            for c in range(args.calls):
-                ts, losses = one_call(v, ts, (rnd * args.calls + c + 1) * k)
-            _ = float(losses["gen_total"][-1])
-            _ = float(jax.tree.leaves(ts["models"]["gen_B"])[0].ravel()[0])
-            dt = time.perf_counter() - t0
-            ips = batch * k * args.calls / dt
-            if fresh_state:
+                _ = float(jax.tree.leaves(ts["models"]["gen_B"])[0]
+                          .ravel()[0])
+                dt = time.perf_counter() - t0
+                ips = batch * k * args.calls / dt
+                if fresh_state:
+                    del ts
+                else:
+                    states[v] = ts
+                results[v].append(ips)
+                print(f"round {rnd} {label}={v}: {ips:.1f} img/s",
+                      flush=True)
+            except Exception as e:
+                print(f"round {rnd} {label}={v}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:160]}", flush=True)
+                dead.add(v)
                 del ts
-            else:
-                states[v] = ts
-            results[v].append(ips)
-            print(f"round {rnd} {label}={v}: {ips:.1f} img/s", flush=True)
 
-    best = {v: round(max(r), 1) for v, r in results.items()}
+    best = {v: (round(max(r), 1) if r else None)
+            for v, r in results.items()}
     out = {"var": label, "size": size, "batch": batch, "best": best}
-    if len(values) == 2:
+    if len(values) == 2 and all(best[v] for v in values):
         a, b = values
         out["ratio"] = round(best[a] / best[b], 4)
     print(json.dumps(out))
