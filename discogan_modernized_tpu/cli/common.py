@@ -131,6 +131,15 @@ def add_common_flags(parser: argparse.ArgumentParser, *, task_default: str,
                              'stats); only BN running-stat bookkeeping '
                              'differs. Logged iterations always run the '
                              'full graph, so training_log.txt is exact.')
+    parser.add_argument('--slim_state', type=str, default=None,
+                        choices=['off', 'mv', 'all'],
+                        help='(extension) low-precision optimizer/master '
+                             'state: mv = Adam moments in bf16, all = '
+                             'moments + master params in bf16 with '
+                             'stochastically-rounded updates. Reclaims '
+                             'most of the ~8GB f32 state that caps 512px '
+                             'batch size on a 16GB chip (PERF.md). '
+                             'Default off (the fidelity-gate config).')
     parser.add_argument('--remat', type=str, default=None,
                         choices=['on', 'off'],
                         help='Activation rematerialization (default: auto, '

@@ -132,12 +132,37 @@ class DecodedCache:
                 fd = os.open(str(lock), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 os.close(fd)
             except FileExistsError:
-                # Another process is creating; wait (steal stale locks
-                # left by a crashed creator).
+                # Another process is creating; wait. Stale locks left by a
+                # crashed creator are stolen via ATOMIC RENAME: a plain
+                # stat-then-unlink has a TOCTOU where the unlink can remove
+                # a lock a NEW creator just acquired, letting two processes
+                # run the truncating 'w+' creation concurrently. Renaming
+                # gives us exclusive ownership of whatever instance was at
+                # the lock path; we then verify by ITS mtime which instance
+                # we grabbed and restore it if it turns out to be live.
                 try:
                     if time.time() - lock.stat().st_mtime > 120:
-                        lock.unlink()
-                        continue
+                        grabbed = lock.with_suffix(
+                            f".lock.stale.{os.getpid()}")
+                        try:
+                            os.rename(lock, grabbed)
+                        except OSError:
+                            continue  # creator finished or another stealer won
+                        try:
+                            fresh = (time.time() - grabbed.stat().st_mtime
+                                     <= 120)
+                        except OSError:
+                            continue
+                        if fresh:
+                            # Grabbed a LIVE lock (new creator raced in
+                            # between our stat and rename) — put it back.
+                            try:
+                                os.rename(grabbed, lock)
+                            except OSError:
+                                pass
+                        else:
+                            grabbed.unlink(missing_ok=True)
+                            continue
                 except OSError:
                     continue
                 if time.time() > deadline:

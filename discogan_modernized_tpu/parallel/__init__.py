@@ -1,5 +1,6 @@
 from .dp import (
     make_dp_train_steps,
+    make_dp_lean_dis_step,
     replicate_train_state,
     unreplicate_train_state,
     shard_batch,
@@ -12,6 +13,7 @@ from .gspmd import (
 
 __all__ = [
     "make_dp_train_steps",
+    "make_dp_lean_dis_step",
     "replicate_train_state",
     "unreplicate_train_state",
     "shard_batch",

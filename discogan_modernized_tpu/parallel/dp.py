@@ -74,6 +74,33 @@ def shard_batch(mesh):
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def _wrap_dp(cfg: TrainConfig, mesh, body, *, jit: bool):
+    """shard_map a single-device step body over the mesh's data axis."""
+    specs = _ts_specs(cfg)
+    local_state = not cfg.bn_sync
+
+    def shard_body(ts, A, B, rate):
+        if local_state:
+            ts = dict(ts, model_states=jax.tree.map(
+                lambda a: a[0], ts["model_states"]))
+        new_ts, losses = body(ts, A, B, rate)
+        if local_state:
+            new_ts = dict(new_ts, model_states=jax.tree.map(
+                lambda a: a[None], new_ts["model_states"]))
+            losses = lax.pmean(losses, DATA_AXIS)
+        return new_ts, losses
+
+    mapped = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(specs, P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=(specs, P()),
+    )
+    if jit:
+        mapped = jax.jit(mapped, donate_argnums=(0,))
+    return mapped
+
+
 def make_dp_train_steps(cfg: TrainConfig, mesh, policy: Policy | None = None,
                         *, jit: bool = True):
     """Returns (gen_step, dis_step) operating on mesh-sharded state/batches.
@@ -84,31 +111,21 @@ def make_dp_train_steps(cfg: TrainConfig, mesh, policy: Policy | None = None,
     """
     cfg_sp = dataclasses.replace(cfg, axis_name=DATA_AXIS)
     policy = policy or default_policy(cfg.precision)
-    specs = _ts_specs(cfg)
-    local_state = not cfg.bn_sync
-
-    def wrap(body):
-        def shard_body(ts, A, B, rate):
-            if local_state:
-                ts = dict(ts, model_states=jax.tree.map(
-                    lambda a: a[0], ts["model_states"]))
-            new_ts, losses = body(ts, A, B, rate)
-            if local_state:
-                new_ts = dict(new_ts, model_states=jax.tree.map(
-                    lambda a: a[None], new_ts["model_states"]))
-                losses = lax.pmean(losses, DATA_AXIS)
-            return new_ts, losses
-
-        mapped = jax.shard_map(
-            shard_body,
-            mesh=mesh,
-            in_specs=(specs, P(DATA_AXIS), P(DATA_AXIS), P()),
-            out_specs=(specs, P()),
-        )
-        if jit:
-            mapped = jax.jit(mapped, donate_argnums=(0,))
-        return mapped
-
-    gen_step = wrap(_make_branch(cfg_sp, policy, "gen"))
-    dis_step = wrap(_make_branch(cfg_sp, policy, "dis"))
+    gen_step = _wrap_dp(cfg, mesh, _make_branch(cfg_sp, policy, "gen"), jit=jit)
+    dis_step = _wrap_dp(cfg, mesh, _make_branch(cfg_sp, policy, "dis"), jit=jit)
     return gen_step, dis_step
+
+
+def make_dp_lean_dis_step(cfg: TrainConfig, mesh,
+                          policy: Policy | None = None, *, jit: bool = True):
+    """DP variant of the lean D-step (--lean_dis): skips the ABA/BAB
+    reconstruction forwards on non-logged D iterations. Same wrap as the
+    full steps; weight trajectory is bit-identical to the full DP D-step
+    (training-mode BN uses batch stats; dis_loss never reads the
+    reconstructions). Recon losses report 0 — callers must route logged
+    iterations through the full dis_step, exactly like the single-device
+    loop does."""
+    cfg_sp = dataclasses.replace(cfg, axis_name=DATA_AXIS)
+    policy = policy or default_policy(cfg.precision)
+    return _wrap_dp(cfg, mesh, _make_branch(cfg_sp, policy, "dis", lean=True),
+                    jit=jit)

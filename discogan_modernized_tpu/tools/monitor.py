@@ -239,6 +239,10 @@ class Monitor:
             if pid not in live:
                 del self.progress[pid]
                 self._log_gap.pop(pid, None)
+                # Without this the set grows unboundedly and a recycled
+                # pid inherits the alerted flag, suppressing a new job's
+                # first stall alert.
+                self._alerted.discard(pid)
 
     def poll_once(self):
         snap = {

@@ -47,16 +47,25 @@ def save_reference_layout(model_path, ts, tag):
     """Write the 4 .pth files for iteration `tag` (int or "final")."""
     model_path = Path(model_path)
     model_path.mkdir(parents=True, exist_ok=True)
+    def as_f32_numpy(v):
+        # Slim-state runs store bf16 master params; the reference layout
+        # (and torch.from_numpy) is f32 — cast on export like torch would
+        # save a .float() copy.
+        v = np.array(v, copy=True)
+        if str(v.dtype) == "bfloat16":
+            v = v.astype(np.float32)
+        return v
+
     try:
         import torch
 
         def dump(sd, path):
-            torch.save({k: torch.from_numpy(np.array(v, copy=True))
+            torch.save({k: torch.from_numpy(as_f32_numpy(v))
                         for k, v in sd.items()}, path)
     except Exception:  # torch-free host: plain pickle of numpy arrays
         def dump(sd, path):
             with open(path, "wb") as f:
-                pickle.dump(sd, f)
+                pickle.dump({k: as_f32_numpy(v) for k, v in sd.items()}, f)
 
     for name in MODEL_NAMES:
         sd = _to_state_dict(name, ts["models"][name], ts["model_states"][name])
@@ -122,8 +131,15 @@ def save_train_state(model_path, ts, iters: int, meta: dict | None = None,
         ckptr.wait_until_finished()
     else:
         leaves, treedef = jax.tree.flatten(ts)
+
+        def storable(l):
+            # npz can't hold ml_dtypes bf16; store as f32 (lossless) and
+            # let load_train_state cast back to the template dtype.
+            a = np.asarray(l)
+            return a.astype(np.float32) if str(a.dtype) == "bfloat16" else a
+
         np.savez(model_path / "train_state.npz",
-                 **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+                 **{f"leaf_{i}": storable(l) for i, l in enumerate(leaves)})
     with open(model_path / "train_state_meta.json", "w") as f:
         json.dump({"iters": iters, "backend": backend,
                    **(meta or {})}, f)
@@ -150,6 +166,12 @@ def load_train_state(model_path, ts_template):
                 f"{len(leaves_t)} — config mismatch?"
             )
         leaves = [z[f"leaf_{i}"] for i in range(len(leaves_t))]
+        # Slim-state templates hold bf16 leaves (stored as f32 in the
+        # archive — bf16->f32->bf16 is lossless); restore template dtypes.
+        leaves = [a.astype(np.asarray(b).dtype)
+                  if hasattr(b, "dtype") and a.dtype != np.asarray(b).dtype
+                  else a
+                  for a, b in zip(leaves, leaves_t)]
         for i, (a, b) in enumerate(zip(leaves, leaves_t)):
             if tuple(a.shape) != tuple(np.shape(b)):
                 raise ValueError(

@@ -87,6 +87,7 @@ def config_from_args(args, angle_variant: bool) -> TrainConfig:
             getattr(args, "remat_policy", None)),
         lean_dis=bool(getattr(args, "lean_dis", False)),
         log_interval=args.log_interval,
+        slim_state=getattr(args, "slim_state", None),
     )
 
 
@@ -171,7 +172,11 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
         load_path = getattr(args, f"load_{name}", None)
         if load_path:
             params, state = load_reference_weights(load_path, name, cfg.image_size)
-            ts["models"][name] = params
+            # Slim-state runs store master params in bf16 — keep the
+            # loaded weights in the train state's dtype.
+            ts["models"][name] = jax.tree.map(
+                lambda new, cur: jnp.asarray(new, getattr(cur, "dtype", None)),
+                params, ts["models"][name])
             ts["model_states"][name] = state
             print(f"모델 로드 성공: {load_path}")
 
@@ -217,11 +222,15 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
         gen_step, dis_step = make_train_steps(cfg)
     lean_dis_step = None
     if cfg.lean_dis:
-        if distributed:
+        if distributed and parallel_mode == "dp":
+            from ..parallel import make_dp_lean_dis_step
+
+            lean_dis_step = make_dp_lean_dis_step(cfg, mesh)
+        elif distributed:
             import dataclasses as _dc
 
-            print("경고: --lean_dis 는 분산 모드에서 지원되지 않아 "
-                  "무시됩니다")
+            print("경고: --lean_dis 는 gspmd/spatial 모드에서 지원되지 "
+                  "않아 무시됩니다")
             cfg = _dc.replace(cfg, lean_dis=False)
         else:
             from .step import make_lean_dis_step
@@ -388,10 +397,15 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
             sds = jax.ShapeDtypeStruct
             nA, nB = len(loader.data_A), len(loader.data_B)
             sz, bs = args.image_size, args.batch_size
+            # Probe with the loader's ACTUAL device-dataset dtype: with
+            # DISCOGAN_DEVICE_CACHE_BF16=1 the HBM dataset is bf16, and a
+            # f32-typed probe would validate a program that never runs
+            # while the real bf16 program compiles unprobed.
+            ddt = loader._device_dtype()
             abstract = (
                 jax.tree.map(lambda x: sds(x.shape, x.dtype), ts),
-                sds((nA, sz, sz, 3), jnp.float32),
-                sds((nB, sz, sz, 3), jnp.float32),
+                sds((nA, sz, sz, 3), ddt),
+                sds((nB, sz, sz, 3), ddt),
                 sds((steps_per_call, bs), jnp.int32),
                 sds((steps_per_call, bs), jnp.int32),
                 sds((), jnp.int32),
@@ -446,25 +460,33 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
                 # compile failure, so the train state is still valid.
                 # A RUNTIME failure after dispatch, however, consumes the
                 # donated state — no fallback is possible then.
+                # Fall back whenever the donated train state survived —
+                # compile failures of clipped-k programs built MID-run
+                # (k shrinks near save intervals) are as recoverable as a
+                # first-call failure; only a post-dispatch runtime failure
+                # consumes the donated buffers and cannot be retried.
                 if any(getattr(x, "is_deleted", lambda: False)()
                        for x in jax.tree.leaves(ts)):
                     raise
-                if iters == start_iters:
-                    print(f"경고: 다단계 scan 프로그램 컴파일 실패 — "
-                          f"단일 스텝 경로로 폴백합니다 "
-                          f"({type(e).__name__}: {str(e)[:120]})")
-                    scan_failed = True
-                    # Release the HBM-resident dataset and cached scan
-                    # programs before the per-step path allocates its own
-                    # working set (at 512px the failure IS an HBM OOM —
-                    # co-residency would OOM the fallback too).
-                    del dev_A, dev_B
-                    scan_progs.clear()
-                    loader.release_device_cache()
-                    if prog:
-                        prog.close()
-                    break
-                raise
+                print(f"경고: 다단계 scan 프로그램 컴파일 실패 — "
+                      f"단일 스텝 경로로 폴백합니다 "
+                      f"({type(e).__name__}: {str(e)[:120]})")
+                scan_failed = True
+                # The per-step loop below resumes from wherever the scan
+                # path got to (first-call failure: iters == start_iters
+                # and this is a no-op).
+                start_epoch = min(iters // n_batches, args.epochs)
+                skip_batches = iters - start_epoch * n_batches
+                # Release the HBM-resident dataset and cached scan
+                # programs before the per-step path allocates its own
+                # working set (at 512px the failure IS an HBM OOM —
+                # co-residency would OOM the fallback too).
+                del dev_A, dev_B
+                scan_progs.clear()
+                loader.release_device_cache()
+                if prog:
+                    prog.close()
+                break
             if any((iters + j) % args.log_interval == 0 for j in range(k)):
                 host = jax.device_get(losses)
                 for j in range(k):

@@ -9,16 +9,34 @@ reproduced exactly here so loss trajectories are comparable.
 
 Hand-rolled rather than optax to guarantee the exact update order and to
 keep the optimizer a plain pytree that jits into the fused train step.
+
+Slim state (TrainConfig.slim_state): at 512px the f32 params + Adam
+moments of the four networks are ~8-9 GB — most of a 16 GB v5e chip —
+which is what blocks batch 64 and the conv-granularity remat policy
+(PERF.md). "mv" stores the Adam moments in bfloat16 (update math stays
+f32: moments are cast up, updated, cast back); "all" additionally stores
+the master parameters in bfloat16 with STOCHASTIC rounding of the Adam
+update — round-to-nearest at bf16's 8-bit mantissa silently drops updates
+smaller than ~0.4% of the parameter magnitude and stalls training, while
+stochastic rounding is unbiased (E[round(x)] = x) so the parameter still
+integrates small updates in expectation. The rounding randomness is a
+counter-based derivation from the Adam step number — stateless,
+deterministic, resume-safe.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 
-def adam_init(params):
-    zeros = jax.tree.map(lambda p: jnp.zeros_like(p, dtype=jnp.float32), params)
+def adam_init(params, mv_dtype=jnp.float32, param_dtype=None):
+    """Adam state over `params`. mv_dtype: storage dtype of the moments.
+
+    param_dtype is accepted for symmetry but params are cast by
+    slim_train_state() (they live in ts["models"], not here)."""
+    zeros = jax.tree.map(lambda p: jnp.zeros(p.shape, dtype=mv_dtype), params)
     return {
         "m": zeros,
         "v": jax.tree.map(jnp.copy, zeros),
@@ -26,25 +44,47 @@ def adam_init(params):
     }
 
 
+def _stochastic_round_bf16(x32, key):
+    """Unbiased f32 -> bf16 rounding: add uniform random bits below the
+    bf16 mantissa cutoff, then truncate. The carry into the exponent when
+    the mantissa overflows is exactly round-up to the next representable
+    value, so the scheme is correct across exponent boundaries."""
+    bits = lax.bitcast_convert_type(x32.astype(jnp.float32), jnp.uint32)
+    rnd = jax.random.bits(key, x32.shape, jnp.uint32) & jnp.uint32(0xFFFF)
+    bits = (bits + rnd) & jnp.uint32(0xFFFF0000)
+    return lax.bitcast_convert_type(bits, jnp.float32).astype(jnp.bfloat16)
+
+
 def adam_update(params, grads, opt_state, *, lr, beta1=0.5, beta2=0.999,
-                eps=1e-8, weight_decay=0.0):
-    """One Adam step. Returns (new_params, new_opt_state)."""
+                eps=1e-8, weight_decay=0.0, stochastic_round=False):
+    """One Adam step. Returns (new_params, new_opt_state).
+
+    Moment storage dtype follows opt_state (adam_init's mv_dtype); the
+    update math is always f32. With stochastic_round=True, bf16-stored
+    parameters are written back with unbiased stochastic rounding instead
+    of round-to-nearest (see module docstring)."""
     step = opt_state["step"] + 1
     t = step.astype(jnp.float32)
     bc1 = 1.0 - beta1 ** t
     bc2 = 1.0 - beta2 ** t
+    base_key = (jax.random.fold_in(jax.random.PRNGKey(0x5EED), step)
+                if stochastic_round else None)
 
-    def upd(p, g, m, v):
+    def upd(p, g, m, v, key):
         g = g.astype(jnp.float32)
         p32 = p.astype(jnp.float32)
         if weight_decay:
             g = g + weight_decay * p32
-        m_new = beta1 * m + (1.0 - beta1) * g
-        v_new = beta2 * v + (1.0 - beta2) * jnp.square(g)
+        m_new = beta1 * m.astype(jnp.float32) + (1.0 - beta1) * g
+        v_new = beta2 * v.astype(jnp.float32) + (1.0 - beta2) * jnp.square(g)
         m_hat = m_new / bc1
         v_hat = v_new / bc2
         p_new = p32 - lr * m_hat / (jnp.sqrt(v_hat) + eps)
-        return p_new.astype(p.dtype), m_new, v_new
+        if key is not None and p.dtype == jnp.bfloat16:
+            p_out = _stochastic_round_bf16(p_new, key)
+        else:
+            p_out = p_new.astype(p.dtype)
+        return p_out, m_new.astype(m.dtype), v_new.astype(v.dtype)
 
     flat_p, treedef = jax.tree.flatten(params)
     flat_g = treedef.flatten_up_to(grads)
@@ -52,8 +92,10 @@ def adam_update(params, grads, opt_state, *, lr, beta1=0.5, beta2=0.999,
     flat_v = treedef.flatten_up_to(opt_state["v"])
 
     new_p, new_m, new_v = [], [], []
-    for p, g, m, v in zip(flat_p, flat_g, flat_m, flat_v):
-        pn, mn, vn = upd(p, g, m, v)
+    for i, (p, g, m, v) in enumerate(zip(flat_p, flat_g, flat_m, flat_v)):
+        key = (jax.random.fold_in(base_key, i)
+               if base_key is not None else None)
+        pn, mn, vn = upd(p, g, m, v, key)
         new_p.append(pn)
         new_m.append(mn)
         new_v.append(vn)

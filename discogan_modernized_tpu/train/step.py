@@ -96,6 +96,18 @@ class TrainConfig:
     # Logging cadence, used only by the lean-dis scan program to route
     # log iterations through the full graph (ref default 50).
     log_interval: int = 50
+    # Low-precision optimizer/master state, the 512px HBM-ceiling breaker
+    # (PERF.md: ~8GB of f32 params + Adam moments is what blocks b64 and
+    # remat_policy="conv" on a 16GB v5e chip):
+    #   None/"off": f32 moments, f32 master params (default; the
+    #               fidelity-gate configuration)
+    #   "mv":  Adam m/v stored bfloat16; update math stays f32
+    #   "all": "mv" + master params stored bfloat16, written back with
+    #          STOCHASTIC rounding (unbiased — round-to-nearest at bf16
+    #          precision drops sub-0.4%-of-magnitude updates and stalls
+    #          training; see train/optim.py)
+    # Env override: DISCOGAN_SLIM_STATE=off|mv|all.
+    slim_state: str | None = None
 
     @property
     def use_remat(self) -> bool:
@@ -110,8 +122,27 @@ class TrainConfig:
         return iters % self.update_interval == 0
 
 
+def resolve_slim_state(cfg: TrainConfig) -> str:
+    """"off" | "mv" | "all" (DISCOGAN_SLIM_STATE env wins over cfg)."""
+    import os
+
+    s = os.environ.get("DISCOGAN_SLIM_STATE")
+    if s is None:
+        s = cfg.slim_state or "off"
+    s = s.lower()
+    if s in ("", "off", "f32", "0", "none"):
+        return "off"
+    if s in ("mv", "bf16_mv"):
+        return "mv"
+    if s in ("all", "bf16", "1"):
+        return "all"
+    raise ValueError(f"slim_state must be off|mv|all, got {s!r}")
+
+
 def init_train_state(key, cfg: TrainConfig):
     """Models + BN states + two Adam states, as one pytree."""
+    import jax.numpy as jnp
+
     kga, kgb, kda, kdb = jax.random.split(key, 4)
     gen_A, s_ga = generator_init(kga, cfg.image_size)
     gen_B, s_gb = generator_init(kgb, cfg.image_size)
@@ -119,12 +150,19 @@ def init_train_state(key, cfg: TrainConfig):
     dis_B, s_db = discriminator_init(kdb, cfg.image_size)
     models = {"gen_A": gen_A, "gen_B": gen_B, "dis_A": dis_A, "dis_B": dis_B}
     states = {"gen_A": s_ga, "gen_B": s_gb, "dis_A": s_da, "dis_B": s_db}
+    slim = resolve_slim_state(cfg)
+    if slim == "all":
+        # bf16 master params (stochastically-rounded updates). BN states
+        # stay f32 — they are tiny and the running-stat EMA needs the
+        # precision.
+        models = jax.tree.map(lambda a: a.astype(jnp.bfloat16), models)
+    mv_dtype = jnp.bfloat16 if slim in ("mv", "all") else jnp.float32
     gen_keys, dis_keys = trainable_subsets(cfg.model_arch)
     return {
         "models": models,
         "model_states": states,
-        "opt_gen": adam_init({k: models[k] for k in gen_keys}),
-        "opt_dis": adam_init({k: models[k] for k in dis_keys}),
+        "opt_gen": adam_init({k: models[k] for k in gen_keys}, mv_dtype),
+        "opt_dis": adam_init({k: models[k] for k in dis_keys}, mv_dtype),
     }
 
 
@@ -210,6 +248,7 @@ def _make_branch(cfg: TrainConfig, policy: Policy, which: str,
             trainable, grads, ts[opt_key],
             lr=cfg.learning_rate, beta1=cfg.beta1, beta2=cfg.beta2,
             weight_decay=cfg.weight_decay,
+            stochastic_round=(resolve_slim_state(cfg) == "all"),
         )
         new_ts = {
             "models": {**ts["models"], **new_trainable},

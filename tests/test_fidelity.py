@@ -45,7 +45,7 @@ def test_generator_forward_matches_torch(image_size):
           generator_to_state_dict(params, state).items()}
 
     ref = RefGenerator(image_size)
-    missing, unexpected = ref.load_state_dict(sd, strict=True), None
+    ref.load_state_dict(sd, strict=True)
     ref.train()
 
     x = _rand_image(4, image_size)

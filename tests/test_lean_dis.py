@@ -110,6 +110,50 @@ def test_lean_dis_scan_matches_per_step():
     assert float(losses1["recon_B"][3]) == 0.0
 
 
+def test_lean_dis_dp_weights_identical():
+    """Under 8-way data parallelism the lean D-step must keep the WEIGHT
+    trajectory bit-identical to the full DP D-step (same guarantee the
+    single-device test above proves) — this is the path that serves the
+    512px v5e-8 DP config (BASELINE config[4])."""
+    from discogan_modernized_tpu.core.mesh import make_mesh
+    from discogan_modernized_tpu.parallel import (
+        make_dp_train_steps, make_dp_lean_dis_step, replicate_train_state)
+
+    assert jax.device_count() >= 8
+    mesh = make_mesh(8)
+    rng = np.random.RandomState(3)
+    A = jnp.asarray(rng.rand(16, 16, 16, 3), jnp.float32)
+    B = jnp.asarray(rng.rand(16, 16, 16, 3), jnp.float32)
+    cfg = TrainConfig(image_size=16, precision="f32")
+    log_interval = 4
+
+    def run(lean):
+        ts = replicate_train_state(
+            init_train_state(jax.random.PRNGKey(0), cfg), mesh, cfg)
+        gen_step, dis_step = make_dp_train_steps(cfg, mesh)
+        lean_step = make_dp_lean_dis_step(cfg, mesh) if lean else None
+        for j in range(13):
+            if cfg.is_dis_iter(j):
+                step = (lean_step if lean_step is not None
+                        and j % log_interval != 0 else dis_step)
+            else:
+                step = gen_step
+            ts, losses = step(ts, A, B, jnp.float32(cfg.rate_for(j)))
+        return ts, losses
+
+    ts_full, losses_full = run(False)
+    ts_lean, losses_lean = run(True)
+    for a, b in zip(_params_only(ts_full), _params_only(ts_lean)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Final (gen) iteration's losses come from the identical full graph.
+    for k in losses_full:
+        assert float(losses_full[k]) == float(losses_lean[k]), k
+    # Discriminator BN states (replica-stacked, local mode) also identical.
+    for a, b in zip(jax.tree.leaves(ts_full["model_states"]["dis_A"]),
+                    jax.tree.leaves(ts_lean["model_states"]["dis_A"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_lean_dis_cli_e2e(tmp_path):
     """--lean_dis end-to-end: training completes, and every logged line
     carries real (nonzero) recon values because log-cadence iterations
