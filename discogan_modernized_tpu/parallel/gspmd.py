@@ -158,6 +158,11 @@ def make_gspmd_train_steps(cfg: TrainConfig, mesh, policy: Policy | None = None,
                 compiled[key] = jit_with(ts)
             return compiled[key](ts, A, B, rate)
 
+        # AOT access for tools/memory_report.py: the underlying jax.jit
+        # object (callable .lower(...) with abstract avals) for a state
+        # pytree — shardings only need leaf shapes, so ShapeDtypeStructs
+        # work.
+        step.jit_for = jit_with
         return step
 
     gen_step = wrap(_make_branch(cfg_sp, policy, "gen"))

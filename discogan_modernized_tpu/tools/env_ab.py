@@ -149,17 +149,18 @@ def main():
                   f"{str(e)[:160]}", flush=True)
             dead.add(v)
             del ts
-    if args.var:
-        if orig is None:
-            os.environ.pop(args.var, None)
-        else:
-            os.environ[args.var] = orig
-
     results = {v: [] for v in values}
     for rnd in range(args.rounds):
         for v in values:
             if v in dead:
                 continue
+            # Keep the env pinned to the variant during its round too:
+            # some vars (DISCOGAN_SLIM_STATE) are read at RUNTIME by
+            # init_train_state, not only at trace time — without this the
+            # fresh-state path would silently rebuild the off-variant
+            # state and recompile.
+            if args.var:
+                os.environ[args.var] = v
             ts = None
             try:
                 if fresh_state:
@@ -189,6 +190,12 @@ def main():
                       f"{type(e).__name__}: {str(e)[:160]}", flush=True)
                 dead.add(v)
                 del ts
+
+    if args.var:
+        if orig is None:
+            os.environ.pop(args.var, None)
+        else:
+            os.environ[args.var] = orig
 
     best = {v: (round(max(r), 1) if r else None)
             for v, r in results.items()}
