@@ -1,0 +1,232 @@
+"""Blocked Pallas conv kernel for the k=4 / s=2 / p=1 "halving" layers.
+
+Every conv in the architecture is this shape (ref model.py:8-35 — cuDNN
+carries them in the reference); XLA's conv emitter holds 37-62% MFU on the
+wide backward layers and the step MFU at 42/49% (PERF.md round-2 roofline
+work), so this is the one prescribed weapon left (SURVEY §7: "fuse
+conv+BN+LeakyReLU blocks with a Pallas kernel where XLA fusion is
+insufficient").
+
+Design (see /opt/skills/guides/pallas_guide.md):
+- Grid (batch tiles, out-channel tiles); each step owns TB batch items
+  and TO output channels. The whole (padded) spatial extent of those
+  items rides in VMEM — at 64px every layer fits; at 512px the early
+  layers cap TB at 1.
+- Per (kh, kw) tap: a strided VMEM slice x[:, kh::2, kw::2, :] flattened
+  to (TB*Ho*Wo, I) feeds ONE MXU matmul against w[kh, kw] (I, TO), f32
+  accumulation. 16 taps = 16 matmuls per grid step. Contraction K = I
+  (full lanes for the >=128-channel layers) and M = TB*Ho*Wo — batching
+  TB items per step keeps M >= 128 even for the 4x4-spatial late layers
+  where XLA's emitter starves the MXU.
+- Optional fused epilogue: per-channel scale/offset + activation
+  (BN-normalize in inference/eval form), and a fused batch-stat partial
+  reduction (sum, sum of squares per channel) emitted alongside y so
+  train-mode BN needs no second read of the conv output.
+
+Correctness is exact to f32-accumulation reordering vs
+lax.conv_general_dilated (tests/test_pallas_conv.py, interpret mode on
+CPU + compiled on the real chip via bench/kernel tools).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_tb(n: int, h: int, w: int, in_ch: int, itemsize: int,
+             vmem_budget: int = 10 * 2 ** 20) -> int:
+    """Largest batch tile whose padded input block fits the VMEM budget."""
+    per_item = (h + 2) * (w + 2) * in_ch * itemsize
+    tb = max(1, vmem_budget // max(per_item, 1))
+    while n % tb:
+        tb -= 1
+    return max(1, min(tb, n))
+
+
+def _pick_to(out_ch: int) -> int:
+    if out_ch % 128 == 0:
+        return 128
+    return out_ch  # 3/100-channel heads: single tile
+
+
+def conv2d_k4s2p1(x, w, *, scale=None, offset=None, act: str | None = None,
+                  with_stats: bool = False, interpret: bool = False):
+    """y = conv(x, w, k=4, s=2, p=1) with optional fused epilogue.
+
+    x: (N, H, W, I) NHWC; w: (4, 4, I, O) HWIO. Returns y (N, H/2, W/2, O)
+    or (y, (sum, sumsq)) with per-channel f32 sums over N*Ho*Wo when
+    with_stats=True.
+
+    scale/offset: per-channel f32 y*scale + offset applied before act
+    (inference-form BN); act: None | "relu" | "leaky" (0.2, the reference
+    slope, model.py:9).
+    """
+    n, h, wd, in_ch = x.shape
+    assert w.shape[:3] == (4, 4, in_ch), (x.shape, w.shape)
+    out_ch = w.shape[-1]
+    ho, wo = h // 2, wd // 2
+    dtype = x.dtype
+    w = w.astype(dtype)
+
+    tb = _pick_tb(n, h, wd, in_ch, jnp.dtype(dtype).itemsize)
+    to = _pick_to(out_ch)
+    grid = (n // tb, out_ch // to)
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    has_affine = scale is not None
+    if has_affine:
+        scale2 = jnp.broadcast_to(scale.astype(jnp.float32),
+                                  (out_ch,)).reshape(1, out_ch)
+        offset2 = jnp.broadcast_to(offset.astype(jnp.float32),
+                                   (out_ch,)).reshape(1, out_ch)
+
+    def kernel(*refs):
+        if has_affine:
+            x_ref, w_ref, s_ref, o_ref = refs[:4]
+            rest = refs[4:]
+        else:
+            x_ref, w_ref = refs[:2]
+            rest = refs[2:]
+        if with_stats:
+            y_ref, sum_ref, sq_ref = rest
+        else:
+            (y_ref,) = rest
+
+        xb = x_ref[...]  # (TB, H+2, W+2, I)
+        acc = jnp.zeros((tb * ho * wo, to), jnp.float32)
+        for kh in range(4):
+            for kw in range(4):
+                xt = xb[:, kh:kh + 2 * ho:2, kw:kw + 2 * wo:2, :]
+                xt = xt.reshape(tb * ho * wo, in_ch)
+                acc = acc + jax.lax.dot_general(
+                    xt, w_ref[kh, kw],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        if with_stats:
+            # Partial reduction over this tile's M rows; finalized by the
+            # caller (sum over batch-grid). Channel stats are of the RAW
+            # conv output (what train-mode BN normalizes, ops/batchnorm).
+            sum_ref[0, :] = jnp.sum(acc, axis=0)
+            sq_ref[0, :] = jnp.sum(jnp.square(acc), axis=0)
+        out = acc
+        if has_affine:
+            out = out * s_ref[...] + o_ref[...]
+        if act == "relu":
+            out = jnp.maximum(out, 0.0)
+        elif act == "leaky":
+            out = jnp.where(out >= 0.0, out, 0.2 * out)
+        y_ref[...] = out.reshape(tb, ho, wo, to).astype(dtype)
+
+    in_specs = [
+        pl.BlockSpec((tb, h + 2, wd + 2, in_ch),
+                     lambda b, c: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, 4, in_ch, to), lambda b, c: (0, 0, 0, c),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [xp, w]
+    if has_affine:
+        in_specs += [
+            pl.BlockSpec((1, to), lambda b, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, to), lambda b, c: (0, c),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [scale2, offset2]
+
+    out_shape = [jax.ShapeDtypeStruct((n, ho, wo, out_ch), dtype)]
+    out_specs = [pl.BlockSpec((tb, ho, wo, to), lambda b, c: (b, 0, 0, c),
+                              memory_space=pltpu.VMEM)]
+    if with_stats:
+        out_shape += [
+            jax.ShapeDtypeStruct((n // tb, out_ch), jnp.float32),
+            jax.ShapeDtypeStruct((n // tb, out_ch), jnp.float32),
+        ]
+        out_specs += [
+            pl.BlockSpec((1, to), lambda b, c: (b, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, to), lambda b, c: (b, c),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    flops = 2 * n * ho * wo * out_ch * in_ch * 16
+    result = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs if with_stats else out_specs[0],
+        out_shape=out_shape if with_stats else out_shape[0],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(xp.size + w.size) * xp.dtype.itemsize
+            + n * ho * wo * out_ch * xp.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    if with_stats:
+        y, psum, psq = result
+        cnt = n * ho * wo
+        return y, (jnp.sum(psum, axis=0) / cnt, jnp.sum(psq, axis=0) / cnt)
+    return result
+
+
+def conv2d_k4s2p1_dw(x, dy, *, interpret: bool = False):
+    """Weight gradient of the k4/s2/p1 conv as 16 blocked MXU matmuls.
+
+    dw[kh,kw,i,o] = sum_{b,r,c} x_p[b, 2r+kh, 2c+kw, i] * dy[b,r,c,o]
+    — per tap, an (I, M) x (M, O) contraction with M = TB*Ho*Wo. The
+    batch grid accumulates partial dw tiles which the caller sums (f32).
+    """
+    n, h, wd, in_ch = x.shape
+    _, ho, wo, out_ch = dy.shape
+    dtype = x.dtype
+    tb = _pick_tb(n, h, wd, in_ch, jnp.dtype(dtype).itemsize,
+                  vmem_budget=8 * 2 ** 20)
+    to = _pick_to(out_ch)
+    grid = (n // tb, out_ch // to)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    def kernel(x_ref, dy_ref, dw_ref):
+        xb = x_ref[...]
+        dyb = dy_ref[...].reshape(tb * ho * wo, to)
+        for kh in range(4):
+            for kw in range(4):
+                xt = xb[:, kh:kh + 2 * ho:2, kw:kw + 2 * wo:2, :]
+                xt = xt.reshape(tb * ho * wo, in_ch)
+                dw_ref[0, kh, kw] = jax.lax.dot_general(
+                    xt, dyb,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+    dw_parts = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, h + 2, wd + 2, in_ch),
+                         lambda b, c: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, ho, wo, to), lambda b, c: (b, 0, 0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4, 4, in_ch, to),
+                               lambda b, c: (b, 0, 0, 0, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n // tb, 4, 4, in_ch, out_ch),
+                                       jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * ho * wo * out_ch * in_ch * 16,
+            bytes_accessed=(xp.size + dy.size) * xp.dtype.itemsize
+            + 16 * in_ch * out_ch * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, dy)
+    return jnp.sum(dw_parts, axis=0).astype(dtype)
