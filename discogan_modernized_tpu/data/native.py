@@ -10,10 +10,13 @@ Selection order in the pipeline (data/preprocess.py): cv2 when importable
 (bit-parity with the reference), else this native path, else pure numpy.
 Set DISCOGAN_NATIVE=1 to prefer the native path explicitly.
 
-Measured on the dev host: the fused pass matches the cv2 path to ~6e-8
-but is currently ~2x slower than cv2's hand-SIMD'd morphology+resize —
-its value is the dependency-free deployment path, not speed (SIMD
-vectorization of the erode/resize loops is the known follow-up).
+Measured on the dev host (round 2, after vectorizing the morphology as
+separable flattened-row min/max passes and restructuring the resize as
+two-pass with a row cache — discodata.cpp): matches the cv2 path to
+~6e-8 AND beats it on most shapes — 0.58x cv2's time on the 64px
+A-domain edge+resize, 0.67x on B, 1.00x on the 512px identity resize,
+1.14x (worst case) on a general 800->512 downscale. The dependency-free
+path no longer trades speed for portability (PERF.md).
 """
 
 from __future__ import annotations
