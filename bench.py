@@ -80,7 +80,7 @@ A100_ASSUMED_MFU = 0.35
 
 
 def measure_train_per_step(image_size: int, batch: int, n_steps: int = 30,
-                           warmup: int = 4) -> float:
+                           warmup: int = 4, **cfg_kwargs) -> float:
     """Per-step (two-program) train throughput — the path the CLI falls
     back to when the fused-scan program exceeds the backend's compile
     limits (observed: 512px b32 scan fails to compile through the dev
@@ -96,7 +96,8 @@ def measure_train_per_step(image_size: int, batch: int, n_steps: int = 30,
         make_train_steps,
     )
 
-    cfg = TrainConfig(image_size=image_size, model_arch="discogan")
+    cfg = TrainConfig(image_size=image_size, model_arch="discogan",
+                      **cfg_kwargs)
     ts = init_train_state(jax.random.PRNGKey(0), cfg)
     gen_step, dis_step = make_train_steps(cfg)
     rng = np.random.RandomState(0)
@@ -120,7 +121,7 @@ def measure_train_per_step(image_size: int, batch: int, n_steps: int = 30,
 
 def measure_train(image_size: int, batch: int, n_steps: int = 400,
                   warmup: int = 25, steps_per_call: int | None = None,
-                  n_data: int | None = None) -> float:
+                  n_data: int | None = None, **cfg_kwargs) -> float:
     """Steady-state train images/sec for one config on the current chip,
     through the production path: HBM-resident dataset + the fused
     multi-step scan program (train/step.py make_scan_train_step) — one
@@ -141,7 +142,8 @@ def measure_train(image_size: int, batch: int, n_steps: int = 400,
     n_steps = (n_steps // steps_per_call) * steps_per_call or steps_per_call
     warmup = max(1, warmup // steps_per_call) * steps_per_call
 
-    cfg = TrainConfig(image_size=image_size, model_arch="discogan")
+    cfg = TrainConfig(image_size=image_size, model_arch="discogan",
+                      **cfg_kwargs)
     multi = make_scan_train_step(cfg, steps=steps_per_call)
 
     # Probe-compile with ABSTRACT arguments before allocating anything on
@@ -171,7 +173,8 @@ def measure_train(image_size: int, batch: int, n_steps: int = 400,
                   file=sys.stderr, flush=True)
             return measure_train_per_step(image_size, batch,
                                           n_steps=max(10, n_steps // 5),
-                                          warmup=max(2, warmup // 2))
+                                          warmup=max(2, warmup // 2),
+                                          **cfg_kwargs)
 
     ts = init_train_state(jax.random.PRNGKey(0), cfg)
     rng = np.random.RandomState(0)
@@ -201,6 +204,24 @@ def measure_train(image_size: int, batch: int, n_steps: int = 400,
     return batch * n_steps / (time.perf_counter() - t0)
 
 
+def _synth_jpegs(data_dir, n, h, w, seed=0):
+    """Synthesize n random JPEGs (cached in /tmp across runs)."""
+    from pathlib import Path
+
+    from PIL import Image
+
+    data_dir = Path(data_dir)
+    files = sorted(data_dir.glob("*.jpg"))
+    if len(files) < n:
+        data_dir.mkdir(parents=True, exist_ok=True)
+        rng = np.random.RandomState(seed)
+        for i in range(n):
+            img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+            Image.fromarray(img).save(data_dir / f"{i:04d}.jpg", quality=92)
+        files = sorted(data_dir.glob("*.jpg"))
+    return [str(f) for f in files[:n]]
+
+
 def measure_train_with_decode(image_size: int, batch: int,
                               n_steps: int = 60) -> dict:
     """End-to-end throughput including real JPEG decode + the reference
@@ -218,7 +239,6 @@ def measure_train_with_decode(image_size: int, batch: int,
 
     import jax
     import jax.numpy as jnp
-    from PIL import Image
 
     from discogan_modernized_tpu.data.pipeline import PrefetchLoader
     from discogan_modernized_tpu.train import (
@@ -228,15 +248,7 @@ def measure_train_with_decode(image_size: int, batch: int,
     )
 
     data_dir = Path(tempfile.gettempdir()) / f"bench_ab_{image_size}"
-    files = sorted(data_dir.glob("*.jpg"))
-    if len(files) < 256:
-        data_dir.mkdir(exist_ok=True)
-        rng = np.random.RandomState(0)
-        for i in range(256):
-            img = (rng.rand(256, 512, 3) * 255).astype(np.uint8)
-            Image.fromarray(img).save(data_dir / f"{i:04d}.jpg", quality=92)
-        files = sorted(data_dir.glob("*.jpg"))
-    files = [str(f) for f in files]
+    files = _synth_jpegs(data_dir, 256, 256, 512)
 
     cache_dir = tempfile.mkdtemp(prefix="bench_decode_cache_")
     old_cache = os.environ.get("DISCOGAN_CACHE_DIR")
@@ -311,6 +323,111 @@ def measure_train_with_decode(image_size: int, batch: int,
         shutil.rmtree(cache_dir, ignore_errors=True)
 
 
+def measure_train_with_decode_512(batch: int = 32, n_per_domain: int = 256,
+                                  n_warm_steps: int = 24,
+                                  slim_state: str | None = None) -> dict:
+    """512px end-to-end benchmark with REAL JPEG decode — the BASELINE
+    config[4] workload shape (tops2hanbok 512px custom task, ref
+    README.md:110): two independent domains of 512x512 JPEGs, whole-image
+    preprocessing (domain None), batch 32.
+
+    At 512px each decoded sample is 64x the 64px bytes, so this is where
+    the input-pipeline story (decoded-sample disk cache + HBM-resident
+    dataset + on-device gather) is hardest. Returns {"cold", "warm"}
+    img/s: cold = one-time decode+preprocess+H2D of the whole dataset
+    plus the first epoch of steps (the reference pays the decode EVERY
+    epoch); warm = steady state off the HBM-resident dataset.
+
+    Uses the per-step path with an on-device jitted gather (the fused
+    scan program exceeds this backend's compile limits at 512px b32 —
+    PERF.md), exactly mirroring the CLI trainer's fallback behavior."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+
+    from discogan_modernized_tpu.data.pipeline import PrefetchLoader
+    from discogan_modernized_tpu.train import (
+        TrainConfig,
+        init_train_state,
+        make_train_steps,
+    )
+
+    tmp = Path(tempfile.gettempdir())
+    files_A = _synth_jpegs(tmp / "bench_512_A", n_per_domain, 512, 512, seed=1)
+    files_B = _synth_jpegs(tmp / "bench_512_B", n_per_domain, 512, 512, seed=2)
+
+    cache_dir = tempfile.mkdtemp(prefix="bench_decode_cache512_")
+    old_cache = os.environ.get("DISCOGAN_CACHE_DIR")
+    os.environ["DISCOGAN_CACHE_DIR"] = cache_dir
+    try:
+        cfg = TrainConfig(image_size=512, model_arch="discogan",
+                          slim_state=slim_state)
+        ts = init_train_state(jax.random.PRNGKey(0), cfg)
+        gen_step, dis_step = make_train_steps(cfg)
+        take = jax.jit(lambda d, i: jnp.take(d, i, axis=0))
+
+        loader = PrefetchLoader(files_A, files_B, batch, 512,
+                                domain_A=None, domain_B=None)
+        if not loader.device_cache:
+            raise RuntimeError("512px decode bench needs the HBM-resident "
+                               "dataset (check DISCOGAN_DEVICE_CACHE_BUDGET)")
+        n_epoch = loader.n_batches
+        rng = np.random.RandomState(0)
+
+        # Compile on synthetic data with the REAL dataset's leading dims
+        # (different shapes would be a jit cache miss and the cold window
+        # would time a recompile instead of the pipeline).
+        nd = len(files_A)
+        dummy = jnp.asarray(rng.rand(nd, 512, 512, 3), jnp.float32)
+        it = 0
+        for _ in range(2):
+            i0 = jnp.asarray(rng.randint(0, nd, (batch,)), jnp.int32)
+            A = take(dummy, i0)
+            step = dis_step if cfg.is_dis_iter(it) else gen_step
+            ts, losses = step(ts, A, A, jnp.float32(cfg.rate_for(it)))
+            it += 1
+        _ = float(losses["gen_total"])
+        del dummy, A
+
+        def run_epoch(ts, dev_A, dev_B, it0, n):
+            losses = None
+            it = it0
+            for _ in range(n):
+                pa, pb = (rng.randint(0, nd, (batch,)),
+                          rng.randint(0, nd, (batch,)))
+                A = take(dev_A, jnp.asarray(pa, jnp.int32))
+                B = take(dev_B, jnp.asarray(pb, jnp.int32))
+                step = dis_step if cfg.is_dis_iter(it) else gen_step
+                ts, losses = step(ts, A, B, jnp.float32(cfg.rate_for(it)))
+                it += 1
+            _ = float(losses["gen_total"])
+            _ = float(jax.tree.leaves(ts["models"]["gen_B"])[0].ravel()[0])
+            return ts, it
+
+        # Cold: decode + preprocess + H2D of both domains, then 1 epoch.
+        t0 = time.perf_counter()
+        dev_A, dev_B = loader.device_data()
+        ts, it = run_epoch(ts, dev_A, dev_B, it, n_epoch)
+        cold = batch * n_epoch / (time.perf_counter() - t0)
+
+        ts, it = run_epoch(ts, dev_A, dev_B, it, n_epoch)  # settle
+        t0 = time.perf_counter()
+        ts, it = run_epoch(ts, dev_A, dev_B, it, n_warm_steps)
+        warm = batch * n_warm_steps / (time.perf_counter() - t0)
+        return {"cold": cold, "warm": warm, "batch": batch,
+                "n_images": 2 * n_per_domain}
+    finally:
+        if old_cache is None:
+            os.environ.pop("DISCOGAN_CACHE_DIR", None)
+        else:
+            os.environ["DISCOGAN_CACHE_DIR"] = old_cache
+        shutil.rmtree(cache_dir, ignore_errors=True)
+
+
 def measure_inference_p50(image_size: int = 64, n: int = 30) -> dict:
     """Single-image generator inference latency (ms), steady state.
 
@@ -373,13 +490,56 @@ def measure_inference_p50(image_size: int = 64, n: int = 30) -> dict:
     return {"on_chip_ms": on_chip, "round_trip_p50_ms": round_trip}
 
 
+def pallas_selfcheck() -> str:
+    """Compiled-mode correctness check of every Pallas kernel on the
+    CURRENT backend (the test suite runs them interpret-only on CPU —
+    VERDICT r1: a regression in the compiled path would ship silently).
+    Returns "ok" or raises. Tiny shapes; compiles are cached."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from discogan_modernized_tpu.ops.pallas_fused import (
+        batch_stats, fused_batchnorm_act)
+    from discogan_modernized_tpu.ops.pallas_conv import conv2d_k4s2p1
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 8, 8, 128), jnp.float32)
+    mean, var = batch_stats(x)
+    np.testing.assert_allclose(np.asarray(mean),
+                               np.asarray(x.mean((0, 1, 2))), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(var),
+                               np.asarray(x.var((0, 1, 2))), atol=1e-4)
+
+    sc = jnp.asarray(rng.rand(128), jnp.float32)
+    bi = jnp.asarray(rng.randn(128), jnp.float32)
+    y = fused_batchnorm_act(x, mean, var, sc, bi)
+    ref = (x - mean) * lax.rsqrt(var + 1e-5) * sc + bi
+    ref = jnp.where(ref >= 0, ref, 0.2 * ref)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-3)
+
+    w = jnp.asarray(rng.randn(4, 4, 128, 128) * 0.05, jnp.float32)
+    yc = conv2d_k4s2p1(x, w)
+    refc = lax.conv_general_dilated(
+        x, w, (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(yc), np.asarray(refc),
+                               atol=2e-2, rtol=1e-3)
+    return "ok"
+
+
 def main(full: bool = False):
+    import sys
+
     import jax
 
     # Remote/tunnel compiles can take minutes; persist them across runs.
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
+
+    print(f"# pallas compiled selfcheck: {pallas_selfcheck()} "
+          f"({jax.default_backend()})", file=sys.stderr, flush=True)
 
     from discogan_modernized_tpu.train import TrainConfig, init_train_state, make_train_steps
 
@@ -389,8 +549,12 @@ def main(full: bool = False):
     # the backend allocator (observed: the per-step fallback's warmup
     # RESOURCE_EXHAUSTEDs in-process while the identical measurement in a
     # fresh process runs at 114 img/s — tools/env_ab).
-    v512 = None
+    v512 = v512f = None
     if full:
+        # Most-HBM-hungry first: slim+no-remat stores the full activation
+        # set (~12GB live), then the f32 remat config (~10GB).
+        v512f = measure_train(512, 32, n_steps=15, warmup=3,
+                              slim_state="all", remat=False)
         v512 = measure_train(512, 32, n_steps=15, warmup=3)
     # The shared tunnel/chip shows large run-to-run variance (observed
     # 5.7k-14k img/s for identical programs); report the best of 3
@@ -429,6 +593,17 @@ def main(full: bool = False):
             "vs_a100_est": round(
                 v512 / (A100_PEAK * A100_ASSUMED_MFU / step_flops(512)), 3),
         }
+        # Fast 512px operating point: slim (bf16) optimizer/master state
+        # frees ~4GB of HBM, which lets remat turn OFF at b32 (PERF.md:
+        # +24% over the round-1 point, measured interleaved).
+        detail["train_512px_b32_slim_noremat"] = {
+            "value": round(v512f, 1),
+            "unit": "images/sec/chip",
+            "vs_a100_est": round(
+                v512f / (A100_PEAK * A100_ASSUMED_MFU / step_flops(512)), 3),
+            "note": "--slim_state all --remat off (bf16 state + stored "
+                    "activations; stochastically-rounded updates)",
+        }
         inf = measure_inference_p50(64)
         detail["inference_p50_64px"] = {
             "on_chip_ms": round(inf["on_chip_ms"], 3),
@@ -447,6 +622,16 @@ def main(full: bool = False):
                     "preprocessing (the reference's every-epoch cost); "
                     "warm = epochs >= 1 served by the decoded-sample cache "
                     "(data/cache.py), overlapped via the prefetch pipeline",
+        }
+        dec512 = measure_train_with_decode_512(32, slim_state="all")
+        detail["train_512px_b32_with_real_decode"] = {
+            "cold_first_epoch": round(dec512["cold"], 1),
+            "warm_hbm_resident": round(dec512["warm"], 1),
+            "unit": "images/sec/chip",
+            "note": "BASELINE config[4] workload shape (tops2hanbok-style "
+                    "512px custom task): real 512x512 JPEG decode + "
+                    "preprocess + H2D (cold, one-time) vs steady state off "
+                    "the HBM-resident dataset (warm); slim_state=all",
         }
         Path("benchmarks").mkdir(exist_ok=True)
         Path("benchmarks/full.json").write_text(json.dumps(detail, indent=2))

@@ -40,13 +40,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pick_tb(n: int, h: int, w: int, in_ch: int, itemsize: int,
-             vmem_budget: int = 10 * 2 ** 20) -> int:
-    """Largest batch tile whose padded input block fits the VMEM budget."""
+             vmem_budget: int = 8 * 2 ** 20, m_cap: int = 1024) -> int:
+    """Largest batch tile whose padded input block fits the VMEM budget
+    AND whose flattened matmul M dim (tb * ho * wo) stays under m_cap —
+    oversized unrolled tiles blow up Mosaic compile memory (observed:
+    compile-helper OOM-kill on the 64px first layer at tb=64)."""
     per_item = (h + 2) * (w + 2) * in_ch * itemsize
     tb = max(1, vmem_budget // max(per_item, 1))
+    m_item = max((h // 2) * (w // 2), 1)
+    tb = min(tb, max(1, m_cap // m_item), n)
     while n % tb:
         tb -= 1
-    return max(1, min(tb, n))
+    return max(1, tb)
 
 
 def _pick_to(out_ch: int) -> int:
@@ -79,6 +84,14 @@ def conv2d_k4s2p1(x, w, *, scale=None, offset=None, act: str | None = None,
     grid = (n // tb, out_ch // to)
 
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # Column-parity split OUTSIDE the kernel: a (…, 2, C)-minor reshape
+    # inside Mosaic tiles at ~16x padding (observed 22MB scoped-VMEM OOM
+    # for a 0.6MB block). Splitting W into even/odd arrays up front keeps
+    # the kernel's minor dims (W/2, C) natively tileable; the row parity
+    # is a MAJOR-dim reshape in-kernel (free). XLA emits the two strided
+    # slices as one cheap relayout of the padded copy it makes anyway.
+    xe = xp[:, :, 0::2, :]  # (N, H+2, wo+1, I)
+    xo = xp[:, :, 1::2, :]
     has_affine = scale is not None
     if has_affine:
         scale2 = jnp.broadcast_to(scale.astype(jnp.float32),
@@ -88,21 +101,28 @@ def conv2d_k4s2p1(x, w, *, scale=None, offset=None, act: str | None = None,
 
     def kernel(*refs):
         if has_affine:
-            x_ref, w_ref, s_ref, o_ref = refs[:4]
-            rest = refs[4:]
+            xe_ref, xo_ref, w_ref, s_ref, o_ref = refs[:5]
+            rest = refs[5:]
         else:
-            x_ref, w_ref = refs[:2]
-            rest = refs[2:]
+            xe_ref, xo_ref, w_ref = refs[:3]
+            rest = refs[3:]
         if with_stats:
             y_ref, sum_ref, sq_ref = rest
         else:
             (y_ref,) = rest
 
-        xb = x_ref[...]  # (TB, H+2, W+2, I)
+        # Row parity via a major-dim reshape (no minor-layout change):
+        # (TB, H+2, wo+1, I) -> (TB, ho+1, 2, wo+1, I). Tap (kh, kw)
+        # reads row parity kh%2 at row offset kh//2 from the column-
+        # parity array kw%2 at column offset kw//2 — all static slices.
+        xs = [r[...].reshape(tb, ho + 1, 2, wo + 1, in_ch)
+              for r in (xe_ref, xo_ref)]
         acc = jnp.zeros((tb * ho * wo, to), jnp.float32)
         for kh in range(4):
             for kw in range(4):
-                xt = xb[:, kh:kh + 2 * ho:2, kw:kw + 2 * wo:2, :]
+                sh, a = divmod(kh, 2)
+                sw, b = divmod(kw, 2)
+                xt = xs[b][:, sh:sh + ho, a, sw:sw + wo, :]
                 xt = xt.reshape(tb * ho * wo, in_ch)
                 acc = acc + jax.lax.dot_general(
                     xt, w_ref[kh, kw],
@@ -125,13 +145,16 @@ def conv2d_k4s2p1(x, w, *, scale=None, offset=None, act: str | None = None,
         y_ref[...] = out.reshape(tb, ho, wo, to).astype(dtype)
 
     in_specs = [
-        pl.BlockSpec((tb, h + 2, wd + 2, in_ch),
+        pl.BlockSpec((tb, h + 2, wo + 1, in_ch),
+                     lambda b, c: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, h + 2, wo + 1, in_ch),
                      lambda b, c: (b, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((4, 4, in_ch, to), lambda b, c: (0, 0, 0, c),
                      memory_space=pltpu.VMEM),
     ]
-    args = [xp, w]
+    args = [xe, xo, w]
     if has_affine:
         in_specs += [
             pl.BlockSpec((1, to), lambda b, c: (0, c),
@@ -193,13 +216,18 @@ def conv2d_k4s2p1_dw(x, dy, *, interpret: bool = False):
     to = _pick_to(out_ch)
     grid = (n // tb, out_ch // to)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    xe = xp[:, :, 0::2, :]  # column-parity split (see conv2d_k4s2p1)
+    xo = xp[:, :, 1::2, :]
 
-    def kernel(x_ref, dy_ref, dw_ref):
-        xb = x_ref[...]
+    def kernel(xe_ref, xo_ref, dy_ref, dw_ref):
+        xs = [r[...].reshape(tb, ho + 1, 2, wo + 1, in_ch)
+              for r in (xe_ref, xo_ref)]
         dyb = dy_ref[...].reshape(tb * ho * wo, to)
         for kh in range(4):
             for kw in range(4):
-                xt = xb[:, kh:kh + 2 * ho:2, kw:kw + 2 * wo:2, :]
+                sh, a = divmod(kh, 2)
+                sw, b = divmod(kw, 2)
+                xt = xs[b][:, sh:sh + ho, a, sw:sw + wo, :]
                 xt = xt.reshape(tb * ho * wo, in_ch)
                 dw_ref[0, kh, kw] = jax.lax.dot_general(
                     xt, dyb,
@@ -211,7 +239,9 @@ def conv2d_k4s2p1_dw(x, dy, *, interpret: bool = False):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tb, h + 2, wd + 2, in_ch),
+            pl.BlockSpec((tb, h + 2, wo + 1, in_ch),
+                         lambda b, c: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, h + 2, wo + 1, in_ch),
                          lambda b, c: (b, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, ho, wo, to), lambda b, c: (b, 0, 0, c),
                          memory_space=pltpu.VMEM),
@@ -228,5 +258,5 @@ def conv2d_k4s2p1_dw(x, dy, *, interpret: bool = False):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xp, dy)
+    )(xe, xo, dy)
     return jnp.sum(dw_parts, axis=0).astype(dtype)

@@ -46,7 +46,12 @@ def make_timer(n1=20, n2=120, reps=3):
         def chain(x, length):
             def body(h, _):
                 y = op(h)
-                return h + (1e-30 * jnp.sum(y.astype(jnp.float32))
+                # NONLINEAR dependency: a linear one (sum) lets XLA
+                # algebraically collapse a bare conv out of the chain
+                # (observed: 487 "TF/s" > the 197 chip peak) while the
+                # opaque Pallas call pays full price — max() blocks the
+                # rewrite for both.
+                return h + (1e-30 * jnp.max(y.astype(jnp.float32))
                             ).astype(h.dtype), ()
 
             h, _ = lax.scan(body, x, None, length=length)
@@ -91,6 +96,14 @@ def main(argv=None):
     dn = ("NHWC", "HWIO", "NHWC")
     rows = []
     for (n, s, ci, co) in _layers(args.size, args.batch):
+        if ci < 8:
+            # The 3-channel boundary layer is no Pallas candidate: its
+            # contraction is lane-starved whatever the kernel does, and
+            # the 3-lane layout explodes Mosaic relayout compile cost
+            # (observed: compile-helper OOM-kill). XLA keeps it.
+            print(json.dumps({"layer": f"{s}px {ci}->{co}",
+                              "skipped": "in_ch < 8"}), flush=True)
+            continue
         x = jnp.asarray(rng.rand(n, s, s, ci), dtype)
         w = jnp.asarray(rng.randn(4, 4, ci, co) * 0.05, dtype)
         flops = 2 * n * (s // 2) ** 2 * co * ci * 16

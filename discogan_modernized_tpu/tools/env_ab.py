@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--steps", type=int, default=16, help="scan steps per call")
     ap.add_argument("--calls", type=int, default=4, help="timed calls per round")
     ap.add_argument("--rounds", type=int, default=6)
+    ap.add_argument("--fix", action="append", default=[],
+                    metavar="FIELD=VALUE",
+                    help="pin a TrainConfig field for BOTH variants "
+                         "(repeatable), e.g. --fix remat=false while "
+                         "flipping --var DISCOGAN_SLIM_STATE")
     ap.add_argument("--per_step", action="store_true",
                     help="use the two-program per-step path instead of the "
                          "fused scan (required at shapes where the scan "
@@ -65,7 +70,12 @@ def main():
 
     values = args.values.split(",")
     size, batch, k = args.size, args.batch, args.steps
-    cfg = TrainConfig(image_size=size, model_arch="discogan")
+    fixed = {}
+    for f in args.fix:
+        name, _, val = f.partition("=")
+        fixed[name] = parse_val(val)
+    cfg = dataclasses.replace(
+        TrainConfig(image_size=size, model_arch="discogan"), **fixed)
     cfgs = {v: (cfg if args.field is None
                 else dataclasses.replace(cfg, **{args.field: parse_val(v)}))
             for v in values}
