@@ -36,7 +36,10 @@ def _layers(image_size: int, batch: int):
     return out
 
 
-def make_timer(n1=20, n2=120, reps=3):
+def make_timer(n1=20, n2=520, reps=5):
+    # n2 - n1 = 500 ops: at 10-170us/op the differenced signal is
+    # 5-85 ms, far above the observed ~1-3 ms per-call tunnel variance
+    # (the old 100-op difference went NEGATIVE on sub-10us layers).
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -76,6 +79,9 @@ def main(argv=None):
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--dw", action="store_true")
+    ap.add_argument("--dx", action="store_true",
+                    help="time XLA's input-grad (no Pallas dx kernel "
+                         "exists); locates the backward-emitter gap")
     ap.add_argument("--fused", action="store_true")
     ap.add_argument("--dtype", type=str, default="bf16",
                     choices=["bf16", "f32"])
@@ -147,6 +153,25 @@ def main(argv=None):
             row["fused_pallas_us"] = round(time_op(pl_fused, x) * 1e6, 1)
             row["fused_ratio"] = round(
                 row["fused_xla_us"] / row["fused_pallas_us"], 3)
+
+        if args.dx:
+            dy = jnp.asarray(rng.randn(n, s // 2, s // 2, co), dtype)
+
+            def xla_dx(h):
+                # dx of a linear conv is independent of the INPUT — chain
+                # through the (tiny) weights instead, else XLA hoists the
+                # whole computation out of the timing loop (observed:
+                # 1850 "TF/s" > the 197 chip peak).
+                w_dep = w * (1 + 1e-30 * jnp.max(h).astype(w.dtype))
+                _, vjp = jax.vjp(
+                    lambda x_: lax.conv_general_dilated(
+                        x_, w_dep, (2, 2), [(1, 1), (1, 1)],
+                        dimension_numbers=dn), h)
+                return vjp(dy)[0]
+
+            t_dx = time_op(xla_dx, x)
+            row["dx_xla_us"] = round(t_dx * 1e6, 1)
+            row["dx_xla_tf"] = round(flops / t_dx / 1e12, 1)
 
         if args.dw:
             dy = jnp.asarray(rng.randn(n, s // 2, s // 2, co), dtype)
