@@ -193,6 +193,33 @@ class Monitor:
         ms = self._ITER_RE.findall(tail)
         return int(ms[-1][0]) if ms else None
 
+    def _job_hbm(self, job) -> dict | None:
+        """Latest per-device HBM reading the TRAINER itself reported
+        (hbm_telemetry.jsonl sidecar next to its training_log.txt) — the
+        monitor's own allocator view cannot see another process's usage,
+        which is the round-1 telemetry gap this closes on backends that
+        expose memory_stats."""
+        argv = job.get("argv") or job["cmdline"].split()
+        base = Path(_flag_value(argv, "results_dir", "./results"))
+        if not base.is_absolute() and job.get("cwd"):
+            base = Path(job["cwd"]) / base
+        base = base / _flag_value(argv, "task_name", "")
+        style = _flag_value(argv, "style_A")
+        if style:
+            base = base / style
+        base = base / _flag_value(argv, "model_arch", "discogan")
+        try:
+            logs = sorted(base.glob("*/hbm_telemetry.jsonl"),
+                          key=lambda p: p.stat().st_mtime)
+            if not logs:
+                return None
+            with open(logs[-1], "rb") as f:
+                f.seek(max(0, f.seek(0, 2) - 4096))
+                lines = f.read().decode(errors="replace").strip().splitlines()
+            return json.loads(lines[-1]) if lines else None
+        except (OSError, ValueError):
+            return None
+
     def update_job_progress(self, jobs):
         """Step-rate-derived utilization proxy + stall alerting: through
         the tunnel the backend exposes no device util/temp, so 'is the
@@ -251,6 +278,10 @@ class Monitor:
             "host": host_stats(),
             "jobs": find_training_jobs(),
         }
+        for job in snap["jobs"]:
+            hbm = self._job_hbm(job)
+            if hbm:
+                job["hbm"] = hbm
         self.update_job_progress(snap["jobs"])
         self.history.append(snap)
         self.json_log.write_text(json.dumps(self.history[-500:], indent=2))

@@ -12,6 +12,7 @@ checkpoints for real resume.
 
 from __future__ import annotations
 
+import json
 import time
 from datetime import datetime
 from pathlib import Path
@@ -268,6 +269,31 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
     logger = TrainingLogger(result_path / "training_log.txt", timestamp,
                             args.task_name, args.model_arch, args.batch_size,
                             args.learning_rate) if is_main else None
+
+    def hbm_sample(iters):
+        """Append per-device HBM usage to hbm_telemetry.jsonl (sidecar —
+        training_log.txt keeps the exact reference line contract). The
+        monitor process cannot see THIS process's allocator, so the
+        trainer reports its own; silently skipped on backends that don't
+        expose memory_stats (ref analog: gpu_monitor.py:41-66 polling
+        nvidia-smi for the global device view)."""
+        if not is_main:
+            return
+        try:
+            devs = []
+            for d in jax.local_devices():
+                m = d.memory_stats()
+                if m:
+                    devs.append({"id": d.id,
+                                 "bytes_in_use": m.get("bytes_in_use"),
+                                 "bytes_limit": m.get("bytes_limit")})
+            if devs:
+                with open(result_path / "hbm_telemetry.jsonl", "a") as f:
+                    f.write(json.dumps(
+                        {"t": time.time(), "iter": iters,
+                         "devices": devs}) + "\n")
+        except Exception:  # noqa: BLE001 — telemetry must never kill training
+            pass
     if is_main:
         print(f"Total iterations: {total_iterations}")
         print(f"Saving results to: {result_path}")
@@ -510,6 +536,7 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
                 new_states = dump_samples(last)
                 ts = dict(ts, model_states=new_states)
             if last % args.model_save_interval == 0 and is_main:
+                hbm_sample(last)
                 save_reference_layout(model_path, ts, last)
                 save_train_state(model_path, ts, last,
                                  {"task": args.task_name,
@@ -593,6 +620,7 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
                 if mesh is None:
                     ts = dict(ts, model_states=new_states)
             if iters % args.model_save_interval == 0 and is_main:
+                hbm_sample(iters)
                 view = single_view(ts)
                 save_reference_layout(model_path, view, iters)
                 save_train_state(model_path, view, iters,

@@ -175,3 +175,38 @@ def test_monitor_restart_resumes_from_checkpoint(tmp_path, monkeypatch):
     mon2.check_and_restart_jobs([job2])
     mon2.check_and_restart_jobs([])
     assert launched and not any(a.startswith("--resume=") for a in launched[0])
+
+
+def test_monitor_job_hbm_sidecar(tmp_path, monkeypatch):
+    """The trainer's hbm_telemetry.jsonl sidecar (train/loop.py
+    hbm_sample) surfaces in the monitor's job snapshot — the per-device
+    telemetry path (ref gpu_monitor.py:41-66 analog) on backends that
+    expose memory_stats."""
+    import json
+
+    from discogan_modernized_tpu.tools.monitor import Monitor, parse_args
+
+    run = tmp_path / "results" / "edges2shoes" / "discogan" / "20260101_000000"
+    run.mkdir(parents=True)
+    rows = [{"t": 1.0, "iter": 0,
+             "devices": [{"id": 0, "bytes_in_use": 1, "bytes_limit": 16}]},
+            {"t": 2.0, "iter": 500,
+             "devices": [{"id": 0, "bytes_in_use": 8, "bytes_limit": 16}]}]
+    (run / "hbm_telemetry.jsonl").write_text(
+        "".join(json.dumps(r) + "\n" for r in rows))
+
+    args = parse_args([f"--log_dir={tmp_path}/logs", "--iterations=1",
+                       "--no-interactive"])
+    mon = Monitor(args)
+    fake_jobs = [{"pid": 77, "task_name": "edges2shoes", "cwd": str(tmp_path),
+                  "argv": ["python", "image_translation.py",
+                           "--task_name=edges2shoes"],
+                  "cmdline": "python image_translation.py "
+                             "--task_name=edges2shoes"}]
+    monkeypatch.setattr(
+        "discogan_modernized_tpu.tools.monitor.find_training_jobs",
+        lambda: fake_jobs)
+    snap = mon.poll_once()
+    hbm = snap["jobs"][0].get("hbm")
+    assert hbm is not None and hbm["iter"] == 500  # newest line wins
+    assert hbm["devices"][0]["bytes_in_use"] == 8
