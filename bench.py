@@ -379,10 +379,12 @@ def measure_train_with_decode_512(batch: int = 32, n_per_domain: int = 256,
         rng = np.random.RandomState(0)
 
         # Compile on synthetic data with the REAL dataset's leading dims
-        # (different shapes would be a jit cache miss and the cold window
-        # would time a recompile instead of the pipeline).
+        # AND dtype (bf16 under DISCOGAN_DEVICE_CACHE_BF16 — an f32 dummy
+        # would leave the real program to recompile inside the cold
+        # timing window, the same trap fixed in loop.py's scan probe).
         nd = len(files_A)
-        dummy = jnp.asarray(rng.rand(nd, 512, 512, 3), jnp.float32)
+        dummy = jnp.asarray(rng.rand(nd, 512, 512, 3),
+                            loader._device_dtype())
         it = 0
         for _ in range(2):
             i0 = jnp.asarray(rng.randint(0, nd, (batch,)), jnp.int32)
@@ -552,9 +554,14 @@ def main(full: bool = False):
     v512 = v512f = None
     if full:
         # Most-HBM-hungry first: slim+no-remat stores the full activation
-        # set (~12GB live), then the f32 remat config (~10GB).
+        # set (~12GB live), then the f32 remat config (~10GB). Between
+        # them, drain the dispatch queue and give the allocator's ASYNC
+        # frees time to land — the second state init transiently
+        # co-resides with whatever of the first is still in flight.
         v512f = measure_train(512, 32, n_steps=15, warmup=3,
                               slim_state="all", remat=False)
+        _ = float(jnp.add(jnp.ones(()), 1.0))  # queue-drain fence
+        time.sleep(5)
         v512 = measure_train(512, 32, n_steps=15, warmup=3)
     # The shared tunnel/chip shows large run-to-run variance (observed
     # 5.7k-14k img/s for identical programs); report the best of 3

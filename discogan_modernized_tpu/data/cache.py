@@ -127,42 +127,67 @@ class DecodedCache:
 
         lock = root / f"{digest}.lock"
         deadline = time.time() + 600
+
+        def _lock_stale(path) -> bool:
+            """A lock is stale iff its recorded owner pid is dead (pid
+            liveness, not mtime — a live creator never needs stealing,
+            and a dead one can never truncate concurrently). Pid-less or
+            unreadable locks (older format / mid-write) fall back to the
+            120s mtime heuristic."""
+            try:
+                txt = path.read_text().strip()
+            except OSError:
+                return False  # vanished — not ours to steal
+            if txt.isdigit():
+                try:
+                    os.kill(int(txt), 0)
+                    return False  # owner alive
+                except ProcessLookupError:
+                    return True
+                except OSError:
+                    return False  # e.g. EPERM: alive, different user
+            try:
+                return time.time() - path.stat().st_mtime > 120
+            except OSError:
+                return False
+
         while not self._complete():
             try:
                 fd = os.open(str(lock), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                # Record the owner so waiters can distinguish a crashed
+                # creator from a slow one.
+                os.write(fd, str(os.getpid()).encode())
                 os.close(fd)
             except FileExistsError:
-                # Another process is creating; wait. Stale locks left by a
-                # crashed creator are stolen via ATOMIC RENAME: a plain
+                # Another process is creating; wait. Locks left by a
+                # CRASHED creator are stolen via ATOMIC RENAME: a plain
                 # stat-then-unlink has a TOCTOU where the unlink can remove
                 # a lock a NEW creator just acquired, letting two processes
                 # run the truncating 'w+' creation concurrently. Renaming
                 # gives us exclusive ownership of whatever instance was at
-                # the lock path; we then verify by ITS mtime which instance
-                # we grabbed and restore it if it turns out to be live.
+                # the lock path; we re-verify THAT instance's owner and, if
+                # we raced a live creator, restore it with os.link — which
+                # FAILS rather than clobbering any newer lock (the hole a
+                # rename-back restore would reopen).
                 try:
-                    if time.time() - lock.stat().st_mtime > 120:
+                    if _lock_stale(lock):
                         grabbed = lock.with_suffix(
                             f".lock.stale.{os.getpid()}")
                         try:
                             os.rename(lock, grabbed)
                         except OSError:
                             continue  # creator finished or another stealer won
-                        try:
-                            fresh = (time.time() - grabbed.stat().st_mtime
-                                     <= 120)
-                        except OSError:
-                            continue
-                        if fresh:
-                            # Grabbed a LIVE lock (new creator raced in
-                            # between our stat and rename) — put it back.
-                            try:
-                                os.rename(grabbed, lock)
-                            except OSError:
-                                pass
-                        else:
+                        if _lock_stale(grabbed):
                             grabbed.unlink(missing_ok=True)
                             continue
+                        # Grabbed a LIVE lock (a new creator raced in
+                        # between our check and rename) — restore it
+                        # without clobbering anything newer.
+                        try:
+                            os.link(grabbed, lock)
+                        except OSError:
+                            pass  # an even newer lock exists; leave it be
+                        grabbed.unlink(missing_ok=True)
                 except OSError:
                     continue
                 if time.time() > deadline:

@@ -65,8 +65,9 @@ def conv2d_k4s2p1(x, w, *, scale=None, offset=None, act: str | None = None,
     """y = conv(x, w, k=4, s=2, p=1) with optional fused epilogue.
 
     x: (N, H, W, I) NHWC; w: (4, 4, I, O) HWIO. Returns y (N, H/2, W/2, O)
-    or (y, (sum, sumsq)) with per-channel f32 sums over N*Ho*Wo when
-    with_stats=True.
+    or (y, (mean, mean_sq)) when with_stats=True: per-channel f32 MEANS
+    of y and y^2 over the N*Ho*Wo axis (already divided by the count —
+    var = mean_sq - mean^2; pinned by tests/test_pallas_conv.py).
 
     scale/offset: per-channel f32 y*scale + offset applied before act
     (inference-form BN); act: None | "relu" | "leaky" (0.2, the reference

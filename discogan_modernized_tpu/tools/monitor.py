@@ -168,9 +168,11 @@ class Monitor:
 
     _ITER_RE = re.compile(r"Iter \[(\d+)/(\d+)\]")
 
-    def _job_iters(self, job) -> int | None:
-        """Latest iteration from the job's newest training_log.txt (the
-        C21 line contract), resolving results_dir against the job's cwd."""
+    @staticmethod
+    def _job_newest_tail(job, filename: str) -> str | None:
+        """Last ~4KB of the newest `<run>/<filename>` under the job's
+        results tree (results_dir/task/[style]/arch, resolved against the
+        job's cwd) — the one place the run-directory contract lives."""
         argv = job.get("argv") or job["cmdline"].split()
         base = Path(_flag_value(argv, "results_dir", "./results"))
         if not base.is_absolute() and job.get("cwd"):
@@ -181,14 +183,21 @@ class Monitor:
             base = base / style
         base = base / _flag_value(argv, "model_arch", "discogan")
         try:
-            logs = sorted(base.glob("*/training_log.txt"),
+            logs = sorted(base.glob(f"*/{filename}"),
                           key=lambda p: p.stat().st_mtime)
             if not logs:
                 return None
             with open(logs[-1], "rb") as f:
                 f.seek(max(0, f.seek(0, 2) - 4096))
-                tail = f.read().decode(errors="replace")
+                return f.read().decode(errors="replace")
         except OSError:
+            return None
+
+    def _job_iters(self, job) -> int | None:
+        """Latest iteration from the job's newest training_log.txt (the
+        C21 line contract)."""
+        tail = self._job_newest_tail(job, "training_log.txt")
+        if tail is None:
             return None
         ms = self._ITER_RE.findall(tail)
         return int(ms[-1][0]) if ms else None
@@ -199,26 +208,18 @@ class Monitor:
         monitor's own allocator view cannot see another process's usage,
         which is the round-1 telemetry gap this closes on backends that
         expose memory_stats."""
-        argv = job.get("argv") or job["cmdline"].split()
-        base = Path(_flag_value(argv, "results_dir", "./results"))
-        if not base.is_absolute() and job.get("cwd"):
-            base = Path(job["cwd"]) / base
-        base = base / _flag_value(argv, "task_name", "")
-        style = _flag_value(argv, "style_A")
-        if style:
-            base = base / style
-        base = base / _flag_value(argv, "model_arch", "discogan")
-        try:
-            logs = sorted(base.glob("*/hbm_telemetry.jsonl"),
-                          key=lambda p: p.stat().st_mtime)
-            if not logs:
-                return None
-            with open(logs[-1], "rb") as f:
-                f.seek(max(0, f.seek(0, 2) - 4096))
-                lines = f.read().decode(errors="replace").strip().splitlines()
-            return json.loads(lines[-1]) if lines else None
-        except (OSError, ValueError):
+        tail = self._job_newest_tail(job, "hbm_telemetry.jsonl")
+        if not tail:
             return None
+        lines = tail.strip().splitlines()
+        # The 4KB window may open mid-line; scan back to the newest
+        # complete JSON record.
+        for line in reversed(lines):
+            try:
+                return json.loads(line)
+            except ValueError:
+                continue
+        return None
 
     def update_job_progress(self, jobs):
         """Step-rate-derived utilization proxy + stall alerting: through

@@ -168,8 +168,14 @@ def load_train_state(model_path, ts_template):
         leaves = [z[f"leaf_{i}"] for i in range(len(leaves_t))]
         # Slim-state templates hold bf16 leaves (stored as f32 in the
         # archive — bf16->f32->bf16 is lossless); restore template dtypes.
-        leaves = [a.astype(np.asarray(b).dtype)
-                  if hasattr(b, "dtype") and a.dtype != np.asarray(b).dtype
+        # Read .dtype METADATA only — np.asarray(device_leaf) would D2H
+        # the whole template state (~8GB at 512px, ~100ms/MB through the
+        # tunnel) just to learn its dtype.
+        def _dt(b):
+            return b.dtype if hasattr(b, "dtype") else None
+
+        leaves = [a.astype(_dt(b))
+                  if _dt(b) is not None and a.dtype != _dt(b)
                   else a
                   for a, b in zip(leaves, leaves_t)]
         for i, (a, b) in enumerate(zip(leaves, leaves_t)):

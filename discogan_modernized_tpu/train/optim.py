@@ -31,11 +31,11 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def adam_init(params, mv_dtype=jnp.float32, param_dtype=None):
-    """Adam state over `params`. mv_dtype: storage dtype of the moments.
-
-    param_dtype is accepted for symmetry but params are cast by
-    slim_train_state() (they live in ts["models"], not here)."""
+def adam_init(params, mv_dtype=jnp.float32):
+    """Adam state over `params`. mv_dtype: storage dtype of the moments
+    (bf16 under slim state — see module docstring). Master params are not
+    stored here; they live in ts["models"] and init_train_state casts
+    them."""
     zeros = jax.tree.map(lambda p: jnp.zeros(p.shape, dtype=mv_dtype), params)
     return {
         "m": zeros,
@@ -56,13 +56,22 @@ def _stochastic_round_bf16(x32, key):
 
 
 def adam_update(params, grads, opt_state, *, lr, beta1=0.5, beta2=0.999,
-                eps=1e-8, weight_decay=0.0, stochastic_round=False):
+                eps=1e-8, weight_decay=0.0, stochastic_round=None):
     """One Adam step. Returns (new_params, new_opt_state).
 
     Moment storage dtype follows opt_state (adam_init's mv_dtype); the
-    update math is always f32. With stochastic_round=True, bf16-stored
-    parameters are written back with unbiased stochastic rounding instead
-    of round-to-nearest (see module docstring)."""
+    update math is always f32. stochastic_round=None (default) derives
+    from the PARAMS THEMSELVES: bf16-stored parameters are written back
+    with unbiased stochastic rounding (round-to-nearest at bf16 precision
+    drops sub-0.4%-of-magnitude updates and stalls training — module
+    docstring). Deriving from the state dtype rather than a config/env
+    flag makes the written state the single source of truth: an env var
+    mutated between init_train_state and trace time cannot silently pair
+    bf16 params with RTN writes."""
+    if stochastic_round is None:
+        stochastic_round = any(
+            getattr(p, "dtype", None) == jnp.bfloat16
+            for p in jax.tree.leaves(params))
     step = opt_state["step"] + 1
     t = step.astype(jnp.float32)
     bc1 = 1.0 - beta1 ** t

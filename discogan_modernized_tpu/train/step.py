@@ -248,7 +248,10 @@ def _make_branch(cfg: TrainConfig, policy: Policy, which: str,
             trainable, grads, ts[opt_key],
             lr=cfg.learning_rate, beta1=cfg.beta1, beta2=cfg.beta2,
             weight_decay=cfg.weight_decay,
-            stochastic_round=(resolve_slim_state(cfg) == "all"),
+            # stochastic_round derives from the params' own dtype inside
+            # adam_update — the traced STATE, not a re-read of the env,
+            # decides (an env change between init and trace cannot pair
+            # bf16 params with silent round-to-nearest writes).
         )
         new_ts = {
             "models": {**ts["models"], **new_trainable},
