@@ -578,7 +578,7 @@ def main(full: bool = False):
     # iterations still run the full graph, so every training_log value
     # stays exact. Measured +3.6% at this config (PERF.md).
     images_per_sec = max(measure_train(image_size, batch, lean_dis=True)
-                         for _ in range(3))
+                         for _ in range(5))
     a100_est = A100_PEAK * A100_ASSUMED_MFU / step_flops(image_size)
     out = {
         "metric": "train_images_per_sec_per_chip_discogan_64px_b64",
