@@ -222,6 +222,30 @@ def _synth_jpegs(data_dir, n, h, w, seed=0):
     return [str(f) for f in files[:n]]
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _scratch_cache_dir(prefix: str):
+    """Pin DISCOGAN_CACHE_DIR to a throwaway dir for one benchmark and
+    restore/clean up afterwards (shared by both decode benches)."""
+    import os
+    import shutil
+    import tempfile
+
+    cache_dir = tempfile.mkdtemp(prefix=prefix)
+    old_cache = os.environ.get("DISCOGAN_CACHE_DIR")
+    os.environ["DISCOGAN_CACHE_DIR"] = cache_dir
+    try:
+        yield cache_dir
+    finally:
+        if old_cache is None:
+            os.environ.pop("DISCOGAN_CACHE_DIR", None)
+        else:
+            os.environ["DISCOGAN_CACHE_DIR"] = old_cache
+        shutil.rmtree(cache_dir, ignore_errors=True)
+
+
 def measure_train_with_decode(image_size: int, batch: int,
                               n_steps: int = 320) -> dict:
     # n_steps sizes only the WARM window: 60 steps (~0.25s of compute)
@@ -253,10 +277,7 @@ def measure_train_with_decode(image_size: int, batch: int,
     data_dir = Path(tempfile.gettempdir()) / f"bench_ab_{image_size}"
     files = _synth_jpegs(data_dir, 256, 256, 512)
 
-    cache_dir = tempfile.mkdtemp(prefix="bench_decode_cache_")
-    old_cache = os.environ.get("DISCOGAN_CACHE_DIR")
-    os.environ["DISCOGAN_CACHE_DIR"] = cache_dir
-    try:
+    with _scratch_cache_dir("bench_decode_cache_"):
         from discogan_modernized_tpu.train.step import make_scan_train_step
 
         k = 8  # the CLI trainer's default steps_per_call
@@ -320,12 +341,6 @@ def measure_train_with_decode(image_size: int, batch: int,
         run_steps(ts, dev_A, dev_B, n_steps, it0=2 * n0)
         warm = batch * n_steps / (time.perf_counter() - t0)
         return {"cold": cold, "warm": warm}
-    finally:
-        if old_cache is None:
-            os.environ.pop("DISCOGAN_CACHE_DIR", None)
-        else:
-            os.environ["DISCOGAN_CACHE_DIR"] = old_cache
-        shutil.rmtree(cache_dir, ignore_errors=True)
 
 
 def measure_train_with_decode_512(batch: int = 32, n_per_domain: int = 256,
@@ -365,10 +380,7 @@ def measure_train_with_decode_512(batch: int = 32, n_per_domain: int = 256,
     files_A = _synth_jpegs(tmp / "bench_512_A", n_per_domain, 512, 512, seed=1)
     files_B = _synth_jpegs(tmp / "bench_512_B", n_per_domain, 512, 512, seed=2)
 
-    cache_dir = tempfile.mkdtemp(prefix="bench_decode_cache512_")
-    old_cache = os.environ.get("DISCOGAN_CACHE_DIR")
-    os.environ["DISCOGAN_CACHE_DIR"] = cache_dir
-    try:
+    with _scratch_cache_dir("bench_decode_cache512_"):
         cfg = TrainConfig(image_size=512, model_arch="discogan",
                           slim_state=slim_state)
         ts = init_train_state(jax.random.PRNGKey(0), cfg)
@@ -427,12 +439,6 @@ def measure_train_with_decode_512(batch: int = 32, n_per_domain: int = 256,
         warm = batch * n_warm_steps / (time.perf_counter() - t0)
         return {"cold": cold, "warm": warm, "batch": batch,
                 "n_images": 2 * n_per_domain}
-    finally:
-        if old_cache is None:
-            os.environ.pop("DISCOGAN_CACHE_DIR", None)
-        else:
-            os.environ["DISCOGAN_CACHE_DIR"] = old_cache
-        shutil.rmtree(cache_dir, ignore_errors=True)
 
 
 def measure_inference_p50(image_size: int = 64, n: int = 30) -> dict:
@@ -544,9 +550,6 @@ def main(full: bool = False):
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
-
-    print(f"# pallas compiled selfcheck: {pallas_selfcheck()} "
-          f"({jax.default_backend()})", file=sys.stderr, flush=True)
 
     from discogan_modernized_tpu.train import TrainConfig, init_train_state, make_train_steps
 
@@ -665,6 +668,12 @@ def main(full: bool = False):
         }
         Path("benchmarks").mkdir(exist_ok=True)
         Path("benchmarks/full.json").write_text(json.dumps(detail, indent=2))
+
+    # AFTER the measurements: the selfcheck compiles/allocates on the
+    # backend, and the 512px rows need a pristine allocator (their ~8GB
+    # state RESOURCE_EXHAUSTEDs after in-process churn — see above).
+    print(f"# pallas compiled selfcheck: {pallas_selfcheck()} "
+          f"({jax.default_backend()})", file=sys.stderr, flush=True)
 
     print(json.dumps(out))
 

@@ -126,7 +126,9 @@ class DecodedCache:
         import time
 
         lock = root / f"{digest}.lock"
-        deadline = time.time() + 600
+        # > the 600s recycled-pid steal horizon, so a waiter steals a
+        # stuck lock before its own deadline kills it.
+        deadline = time.time() + 900
 
         def _lock_stale(path) -> bool:
             """A lock is stale iff its recorded owner pid is dead (pid
@@ -141,7 +143,18 @@ class DecodedCache:
             if txt.isdigit():
                 try:
                     os.kill(int(txt), 0)
-                    return False  # owner alive
+                    # Owner pid alive — but pids recycle: a crashed
+                    # creator's pid reused by an unrelated long-lived
+                    # process would otherwise hold the lock forever
+                    # (waiters would spin to the 600s deadline and die).
+                    # A creator only needs the lock for one file
+                    # allocation, so anything older than 600s is stale
+                    # regardless; stealing wrongly is harmless now that
+                    # creation is non-truncating.
+                    try:
+                        return time.time() - path.stat().st_mtime > 600
+                    except OSError:
+                        return False
                 except ProcessLookupError:
                     return True
                 except OSError:
@@ -197,12 +210,23 @@ class DecodedCache:
                 continue
             try:
                 if not self._complete():
-                    # memmap 'w+' allocates the full file immediately;
-                    # flush + close so _complete() holds for everyone.
-                    np.memmap(self.data_path, dtype=np.float32, mode="w+",
-                              shape=self.shape).flush()
-                    np.memmap(self.status_path, dtype=np.uint8, mode="w+",
-                              shape=(len(self.paths),)).flush()
+                    # NON-DESTRUCTIVE allocation: O_CREAT without O_TRUNC
+                    # + ftruncate to the final size. ftruncate to the
+                    # same size is a no-op on existing content, and newly
+                    # extended bytes read as zeros = the correct
+                    # "not yet decoded" status. So even if two processes
+                    # ever reach this block concurrently (the lock is
+                    # best-effort against crashed-creator races), neither
+                    # can zero samples a sibling already decoded — unlike
+                    # the truncating memmap 'w+' this replaces.
+                    for path, size in (
+                            (self.data_path, int(np.prod(self.shape)) * 4),
+                            (self.status_path, len(self.paths))):
+                        fd = os.open(str(path), os.O_CREAT | os.O_RDWR)
+                        try:
+                            os.ftruncate(fd, size)
+                        finally:
+                            os.close(fd)
             finally:
                 try:
                     lock.unlink()

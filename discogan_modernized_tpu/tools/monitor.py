@@ -169,10 +169,13 @@ class Monitor:
     _ITER_RE = re.compile(r"Iter \[(\d+)/(\d+)\]")
 
     @staticmethod
-    def _job_newest_tail(job, filename: str) -> str | None:
-        """Last ~4KB of the newest `<run>/<filename>` under the job's
-        results tree (results_dir/task/[style]/arch, resolved against the
-        job's cwd) — the one place the run-directory contract lives."""
+    def _job_run_dir(job) -> Path | None:
+        """The job's CURRENT run directory: the one holding the newest
+        training_log.txt under results_dir/task/[style]/arch (resolved
+        against the job's cwd) — the one place the run-directory
+        contract lives. Everything read about a job (iterations, HBM
+        sidecar) must come from this same run, or a restarted job gets
+        reported with a previous run's data."""
         argv = job.get("argv") or job["cmdline"].split()
         base = Path(_flag_value(argv, "results_dir", "./results"))
         if not base.is_absolute() and job.get("cwd"):
@@ -183,20 +186,27 @@ class Monitor:
             base = base / style
         base = base / _flag_value(argv, "model_arch", "discogan")
         try:
-            logs = sorted(base.glob(f"*/{filename}"),
+            logs = sorted(base.glob("*/training_log.txt"),
                           key=lambda p: p.stat().st_mtime)
-            if not logs:
-                return None
-            with open(logs[-1], "rb") as f:
+        except OSError:
+            return None
+        return logs[-1].parent if logs else None
+
+    @staticmethod
+    def _tail(path: Path) -> str | None:
+        """Last ~4KB of a file, or None."""
+        try:
+            with open(path, "rb") as f:
                 f.seek(max(0, f.seek(0, 2) - 4096))
                 return f.read().decode(errors="replace")
         except OSError:
             return None
 
     def _job_iters(self, job) -> int | None:
-        """Latest iteration from the job's newest training_log.txt (the
+        """Latest iteration from the job's current training_log.txt (the
         C21 line contract)."""
-        tail = self._job_newest_tail(job, "training_log.txt")
+        run = self._job_run_dir(job)
+        tail = self._tail(run / "training_log.txt") if run else None
         if tail is None:
             return None
         ms = self._ITER_RE.findall(tail)
@@ -207,14 +217,15 @@ class Monitor:
         (hbm_telemetry.jsonl sidecar next to its training_log.txt) — the
         monitor's own allocator view cannot see another process's usage,
         which is the round-1 telemetry gap this closes on backends that
-        expose memory_stats."""
-        tail = self._job_newest_tail(job, "hbm_telemetry.jsonl")
+        expose memory_stats. Read from the SAME run dir as _job_iters:
+        a restarted job must not inherit the previous run's reading."""
+        run = self._job_run_dir(job)
+        tail = self._tail(run / "hbm_telemetry.jsonl") if run else None
         if not tail:
             return None
-        lines = tail.strip().splitlines()
         # The 4KB window may open mid-line; scan back to the newest
         # complete JSON record.
-        for line in reversed(lines):
+        for line in reversed(tail.strip().splitlines()):
             try:
                 return json.loads(line)
             except ValueError:

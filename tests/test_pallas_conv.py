@@ -1,8 +1,9 @@
 """Blocked Pallas k4/s2/p1 conv (ops/pallas_conv.py) vs XLA's emitter.
 
 Interpret-mode on CPU for the suite; the compiled path gets automated
-coverage in test_pallas_compiled.py (TPU-gated) and continuous numbers
-from tools/conv_kernel_bench.py."""
+coverage from bench.py's pallas_selfcheck (runs every bench invocation
+on the real backend) and continuous numbers from
+tools/conv_kernel_bench.py."""
 
 import numpy as np
 import pytest

@@ -186,8 +186,17 @@ def test_monitor_job_hbm_sidecar(tmp_path, monkeypatch):
 
     from discogan_modernized_tpu.tools.monitor import Monitor, parse_args
 
-    run = tmp_path / "results" / "edges2shoes" / "discogan" / "20260101_000000"
+    base = tmp_path / "results" / "edges2shoes" / "discogan"
+    # An OLDER run with a sidecar: a restarted job must NOT inherit it.
+    old = base / "20250101_000000"
+    old.mkdir(parents=True)
+    (old / "training_log.txt").write_text("Iter [100/1000]\n")
+    (old / "hbm_telemetry.jsonl").write_text(json.dumps(
+        {"t": 0.5, "iter": 100,
+         "devices": [{"id": 0, "bytes_in_use": 99, "bytes_limit": 16}]}) + "\n")
+    run = base / "20260101_000000"
     run.mkdir(parents=True)
+    (run / "training_log.txt").write_text("Iter [500/1000]\n")
     rows = [{"t": 1.0, "iter": 0,
              "devices": [{"id": 0, "bytes_in_use": 1, "bytes_limit": 16}]},
             {"t": 2.0, "iter": 500,
