@@ -208,3 +208,35 @@ def test_cache_evicts_stale_generation(tmp_path):
     # A DIFFERENT dataset's cache must not be touched.
     other = DecodedCache(paths[:2], "A", 8, root=root)
     assert other.data_path.exists() and c2.data_path.exists()
+
+
+def test_cache_recreation_never_truncates_existing_data(tmp_path):
+    """The creation block must be NON-DESTRUCTIVE: if it runs again over
+    an existing data file (lost status file, stale-lock steal racing a
+    live creator), already-decoded samples survive. The old truncating
+    memmap 'w+' allocation zeroed them."""
+    from discogan_modernized_tpu.data.cache import DecodedCache
+
+    paths = [str(tmp_path / f"img{i}.jpg") for i in range(3)]
+    for p in paths:
+        Path(p).write_bytes(b"x")
+
+    c1 = DecodedCache(paths, "B", 8, root=tmp_path / "cache")
+    arr = np.full((8, 8, 3), 0.25, np.float32)
+    c1.store(paths[1], arr)
+    c1.flush()
+    data_path, status_path = c1.data_path, c1.status_path
+    del c1
+
+    # Lose the status file -> _complete() is False -> the next open runs
+    # the creation block again over the EXISTING data file.
+    status_path.unlink()
+    c2 = DecodedCache(paths, "B", 8, root=tmp_path / "cache")
+    assert c2.data_path == data_path
+    # Status was re-zeroed (sample must be re-decoded)...
+    st, _ = c2.load(paths[1])
+    assert st == 0
+    # ...but the data bytes themselves were NOT zeroed by the re-creation.
+    raw = np.memmap(data_path, dtype=np.float32, mode="r",
+                    shape=c2.shape)
+    np.testing.assert_array_equal(np.asarray(raw[1]), arr)
