@@ -18,6 +18,7 @@ The north-star target is vs_baseline >= 5.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import time
 
@@ -222,9 +223,6 @@ def _synth_jpegs(data_dir, n, h, w, seed=0):
     return [str(f) for f in files[:n]]
 
 
-import contextlib
-
-
 @contextlib.contextmanager
 def _scratch_cache_dir(prefix: str):
     """Pin DISCOGAN_CACHE_DIR to a throwaway dir for one benchmark and
@@ -259,8 +257,6 @@ def measure_train_with_decode(image_size: int, batch: int,
     steady state); warm = later epochs served by the decoded-sample cache
     (data/cache.py). Compilation happens before the cold timing so the
     cold number isolates the input pipeline, not XLA."""
-    import os
-    import shutil
     import tempfile
     from pathlib import Path
 
@@ -361,8 +357,6 @@ def measure_train_with_decode_512(batch: int = 32, n_per_domain: int = 256,
     Uses the per-step path with an on-device jitted gather (the fused
     scan program exceeds this backend's compile limits at 512px b32 —
     PERF.md), exactly mirroring the CLI trainer's fallback behavior."""
-    import os
-    import shutil
     import tempfile
     from pathlib import Path
 
@@ -669,13 +663,17 @@ def main(full: bool = False):
         Path("benchmarks").mkdir(exist_ok=True)
         Path("benchmarks/full.json").write_text(json.dumps(detail, indent=2))
 
+    # Primary line FIRST — the stdout contract ("prints ONE JSON line")
+    # must survive a selfcheck failure.
+    print(json.dumps(out))
+
     # AFTER the measurements: the selfcheck compiles/allocates on the
     # backend, and the 512px rows need a pristine allocator (their ~8GB
-    # state RESOURCE_EXHAUSTEDs after in-process churn — see above).
+    # state RESOURCE_EXHAUSTEDs after in-process churn — see above). A
+    # failure still exits nonzero so a compiled-kernel regression cannot
+    # ship silently.
     print(f"# pallas compiled selfcheck: {pallas_selfcheck()} "
           f"({jax.default_backend()})", file=sys.stderr, flush=True)
-
-    print(json.dumps(out))
 
 
 if __name__ == "__main__":

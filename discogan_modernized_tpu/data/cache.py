@@ -166,7 +166,8 @@ class DecodedCache:
 
         while not self._complete():
             try:
-                fd = os.open(str(lock), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                fd = os.open(str(lock),
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o666)
                 # Record the owner so waiters can distinguish a crashed
                 # creator from a slow one.
                 os.write(fd, str(os.getpid()).encode())
@@ -219,12 +220,33 @@ class DecodedCache:
                     # best-effort against crashed-creator races), neither
                     # can zero samples a sibling already decoded — unlike
                     # the truncating memmap 'w+' this replaces.
-                    for path, size in (
-                            (self.data_path, int(np.prod(self.shape)) * 4),
-                            (self.status_path, len(self.paths))):
-                        fd = os.open(str(path), os.O_CREAT | os.O_RDWR)
+                    def _alloc(path, size) -> bool:
+                        """Ensure `path` exists at `size`; True if it had
+                        to be created or resized."""
+                        try:
+                            changed = os.stat(path).st_size != size
+                        except OSError:
+                            changed = True
+                        fd = os.open(str(path), os.O_CREAT | os.O_RDWR,
+                                     0o666)
                         try:
                             os.ftruncate(fd, size)
+                        finally:
+                            os.close(fd)
+                        return changed
+
+                    data_changed = _alloc(self.data_path,
+                                          int(np.prod(self.shape)) * 4)
+                    _alloc(self.status_path, len(self.paths))
+                    if data_changed:
+                        # The data file was (re)created or resized: any
+                        # surviving STATUS_OK flags would mark zeroed /
+                        # re-based samples as valid (e.g. the .dat was
+                        # deleted by disk cleanup while the tiny .status
+                        # survived). Invalidate them all.
+                        fd = os.open(str(self.status_path), os.O_RDWR)
+                        try:
+                            os.write(fd, b"\x00" * len(self.paths))
                         finally:
                             os.close(fd)
             finally:

@@ -204,8 +204,11 @@ class Monitor:
 
     def _job_iters(self, job) -> int | None:
         """Latest iteration from the job's current training_log.txt (the
-        C21 line contract)."""
-        run = self._job_run_dir(job)
+        C21 line contract). Uses the run dir poll_once resolved for this
+        snapshot (one resolution per job per poll, shared with _job_hbm
+        so both reads come from the SAME run)."""
+        run = job.get("_run_dir")
+        run = Path(run) if run else self._job_run_dir(job)
         tail = self._tail(run / "training_log.txt") if run else None
         if tail is None:
             return None
@@ -219,7 +222,8 @@ class Monitor:
         which is the round-1 telemetry gap this closes on backends that
         expose memory_stats. Read from the SAME run dir as _job_iters:
         a restarted job must not inherit the previous run's reading."""
-        run = self._job_run_dir(job)
+        run = job.get("_run_dir")
+        run = Path(run) if run else self._job_run_dir(job)
         tail = self._tail(run / "hbm_telemetry.jsonl") if run else None
         if not tail:
             return None
@@ -291,6 +295,11 @@ class Monitor:
             "jobs": find_training_jobs(),
         }
         for job in snap["jobs"]:
+            # One run-dir resolution per job per poll; _job_hbm and
+            # _job_iters both read from this same run.
+            run = self._job_run_dir(job)
+            if run is not None:
+                job["_run_dir"] = str(run)  # str: snapshot is json-dumped
             hbm = self._job_hbm(job)
             if hbm:
                 job["hbm"] = hbm

@@ -240,3 +240,27 @@ def test_cache_recreation_never_truncates_existing_data(tmp_path):
     raw = np.memmap(data_path, dtype=np.float32, mode="r",
                     shape=c2.shape)
     np.testing.assert_array_equal(np.asarray(raw[1]), arr)
+
+
+def test_cache_data_loss_invalidates_surviving_status(tmp_path):
+    """The corrupting direction of re-creation: if the DATA file is lost
+    (disk cleanup) while the tiny status file survives with STATUS_OK
+    flags, re-creation must invalidate those flags — otherwise zeroed
+    samples would be served as valid black images forever."""
+    from discogan_modernized_tpu.data.cache import DecodedCache
+
+    paths = [str(tmp_path / f"img{i}.jpg") for i in range(3)]
+    for p in paths:
+        Path(p).write_bytes(b"x")
+
+    c1 = DecodedCache(paths, "B", 8, root=tmp_path / "cache")
+    arr = np.full((8, 8, 3), 0.25, np.float32)
+    c1.store(paths[1], arr)
+    c1.flush()
+    data_path = c1.data_path
+    del c1
+
+    data_path.unlink()  # lose the data, keep the status
+    c2 = DecodedCache(paths, "B", 8, root=tmp_path / "cache")
+    st, _ = c2.load(paths[1])
+    assert st == 0  # NOT served as a valid all-zero image
