@@ -23,6 +23,7 @@ HBM. Data parallelism wraps these same step bodies in shard_map
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 from jax import lax
@@ -124,7 +125,6 @@ class TrainConfig:
 
 def resolve_slim_state(cfg: TrainConfig) -> str:
     """"off" | "mv" | "all" (DISCOGAN_SLIM_STATE env wins over cfg)."""
-    import os
 
     s = os.environ.get("DISCOGAN_SLIM_STATE")
     if s is None:
@@ -182,7 +182,6 @@ def _resolve_remat_dis(cfg: TrainConfig, batch: int, policy: Policy):
     """None (follow cfg.remat) / False (store D activations). Auto skips D
     remat when the stored activations stay under ~3GB — comfortably
     inside a 16GB v5e chip next to ~9GB of 512px params/Adam state."""
-    import os
 
     env = os.environ.get("DISCOGAN_REMAT_DIS")
     if env is not None:
@@ -199,7 +198,6 @@ def _forward(models, states, A, B, rate, cfg: TrainConfig, policy: Policy,
              dis_only: bool = False):
     from .graph import discogan_losses_paired
 
-    import os
 
     sync_axis = cfg.axis_name if cfg.bn_sync else None
     loss_graph = discogan_losses_paired if cfg.paired else discogan_losses
@@ -348,7 +346,14 @@ def make_scan_train_step(cfg: TrainConfig, policy: Policy | None = None, *,
             return new_ts, losses
 
         xs = (jnp.arange(steps, dtype=jnp.int32), idx_A, idx_B)
-        return lax.scan(body, ts, xs)
+        # DISCOGAN_SCAN_UNROLL>1 duplicates the loop body so XLA's
+        # scheduler can overlap one iteration's batch gather with the
+        # previous iteration's compute (A/B knob; default 1 — measured
+        # via tools/env_ab before any default change).
+        unroll = max(1, int(os.environ.get("DISCOGAN_SCAN_UNROLL", "1")))
+        if steps % unroll:
+            unroll = 1  # non-divisible trip counts stay on the plain loop
+        return lax.scan(body, ts, xs, unroll=unroll)
 
     if jit:
         multi = jax.jit(multi, donate_argnums=(0,))

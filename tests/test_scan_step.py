@@ -117,3 +117,53 @@ def test_scan_compile_failure_falls_back_to_per_step(tmp_path, monkeypatch):
     assert (model_path / "gen_B_final.pth").exists()
     log = (result_path / "training_log.txt").read_text()
     assert "Iter [" in log
+
+def test_scan_unroll_identical(setup, monkeypatch):
+    """DISCOGAN_SCAN_UNROLL duplicates the scan body for the scheduler;
+    the program must stay numerically identical (same ops, same order
+    within each iteration)."""
+    import jax
+    import jax.numpy as jnp
+
+    from discogan_modernized_tpu.train.step import (
+        init_train_state, make_scan_train_step)
+
+    cfg, data_A, data_B, idx_A, idx_B = setup
+    K = idx_A.shape[0]
+    ts1 = init_train_state(jax.random.PRNGKey(0), cfg)
+    ts2 = jax.tree.map(lambda x: x.copy(), ts1)
+
+    monkeypatch.delenv("DISCOGAN_SCAN_UNROLL", raising=False)
+    multi1 = make_scan_train_step(cfg, steps=K)
+    ts1, L1 = multi1(ts1, data_A, data_B, jnp.asarray(idx_A),
+                     jnp.asarray(idx_B), jnp.int32(0))
+
+    monkeypatch.setenv("DISCOGAN_SCAN_UNROLL", "2")
+    multi2 = make_scan_train_step(cfg, steps=K)
+    ts2, L2 = multi2(ts2, data_A, data_B, jnp.asarray(idx_A),
+                     jnp.asarray(idx_B), jnp.int32(0))
+
+    for k in L1:
+        np.testing.assert_allclose(np.asarray(L1[k]), np.asarray(L2[k]),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(ts1["models"]),
+                    jax.tree.leaves(ts2["models"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_scan_unroll_nondivisible_falls_back(setup, monkeypatch):
+    """Trip counts not divisible by the unroll factor run the plain loop
+    (the trainer clips k near save intervals)."""
+    import jax
+    import jax.numpy as jnp
+
+    from discogan_modernized_tpu.train.step import (
+        init_train_state, make_scan_train_step)
+
+    cfg, data_A, data_B, idx_A, idx_B = setup
+    ts = init_train_state(jax.random.PRNGKey(0), cfg)
+    monkeypatch.setenv("DISCOGAN_SCAN_UNROLL", "4")
+    multi = make_scan_train_step(cfg, steps=5)
+    ts, L = multi(ts, data_A, data_B, jnp.asarray(idx_A[:5]),
+                  jnp.asarray(idx_B[:5]), jnp.int32(0))
+    assert all(np.isfinite(np.asarray(v)).all() for v in L.values())
