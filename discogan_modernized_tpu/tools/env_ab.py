@@ -30,6 +30,13 @@ def main():
                     help="TrainConfig field to flip instead of an env var "
                          "(e.g. lean_dis, paired); values are parsed as "
                          "true/false/int/str")
+    ap.add_argument("--copt", type=str, default=None,
+                    help="XLA compiler option to flip instead (jax.jit "
+                         "compiler_options — rides the compile request, so "
+                         "it works through remote-compile backends where "
+                         "host XLA_FLAGS would not), e.g. "
+                         "xla_tpu_scoped_vmem_limit_kib; the value "
+                         "'default' means no override")
     ap.add_argument("--values", type=str, default="1,0")
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--batch", type=int, default=64)
@@ -57,8 +64,9 @@ def main():
     from ..train import TrainConfig, init_train_state
     from ..train.step import make_scan_train_step
 
-    if (args.var is None) == (args.field is None):
-        ap.error("exactly one of --var / --field is required")
+    n_modes = sum(x is not None for x in (args.var, args.field, args.copt))
+    if n_modes != 1:
+        ap.error("exactly one of --var / --field / --copt is required")
 
     def parse_val(s):
         if s in ("true", "false"):
@@ -90,8 +98,14 @@ def main():
     # nets); keeping one per variant exhausts the chip — re-init per
     # round there (jit caches keep the compiled programs warm).
     fresh_state = size >= 256
-    label = args.var or args.field
+    label = args.var or args.field or args.copt
     orig = os.environ.get(args.var) if args.var else None
+
+    def copts(v):
+        if args.copt is None or v == "default":
+            return None
+        return {args.copt: v}
+
     fns, states = {}, {}
     for v in values:
         if args.var:
@@ -99,15 +113,18 @@ def main():
         # Tracing happens at first call; force it now while the env value
         # is pinned by warming each program below under its own value.
         if args.per_step:
-            gen_s, dis_s = make_train_steps(cfgs[v])
+            gen_s, dis_s = make_train_steps(cfgs[v],
+                                            compiler_options=copts(v))
             if cfgs[v].lean_dis:
                 from ..train.step import make_lean_dis_step
 
                 # Mirror the trainer: lean program on non-logged D iters.
-                dis_s = (dis_s, make_lean_dis_step(cfgs[v]))
+                dis_s = (dis_s, make_lean_dis_step(
+                    cfgs[v], compiler_options=copts(v)))
             fns[v] = (gen_s, dis_s)
         else:
-            fns[v] = make_scan_train_step(cfgs[v], steps=k)
+            fns[v] = make_scan_train_step(cfgs[v], steps=k,
+                                          compiler_options=copts(v))
         if not fresh_state:
             states[v] = init_train_state(jax.random.PRNGKey(0), cfgs[v])
 

@@ -262,19 +262,29 @@ def _make_branch(cfg: TrainConfig, policy: Policy, which: str,
     return step
 
 
-def make_train_steps(cfg: TrainConfig, policy: Policy | None = None, *, jit: bool = True):
-    """Returns (gen_step, dis_step): (ts, A, B, rate) -> (new_ts, losses)."""
+def make_train_steps(cfg: TrainConfig, policy: Policy | None = None, *, jit: bool = True,
+                     compiler_options: dict | None = None):
+    """Returns (gen_step, dis_step): (ts, A, B, rate) -> (new_ts, losses).
+
+    compiler_options: per-program XLA option overrides (jax.jit
+    compiler_options), e.g. {"xla_tpu_scoped_vmem_limit_kib": "98304"} —
+    the A/B mechanism tools/env_ab --copt uses (options ride the compile
+    request, so they apply through remote-compile backends where host
+    XLA_FLAGS would not).
+    """
     policy = policy or default_policy(cfg.precision)
     gen_step = _make_branch(cfg, policy, "gen")
     dis_step = _make_branch(cfg, policy, "dis")
     if jit:
-        gen_step = jax.jit(gen_step, donate_argnums=(0,))
-        dis_step = jax.jit(dis_step, donate_argnums=(0,))
+        gen_step = jax.jit(gen_step, donate_argnums=(0,),
+                           compiler_options=compiler_options)
+        dis_step = jax.jit(dis_step, donate_argnums=(0,),
+                           compiler_options=compiler_options)
     return gen_step, dis_step
 
 
 def make_lean_dis_step(cfg: TrainConfig, policy: Policy | None = None, *,
-                       jit: bool = True):
+                       jit: bool = True, compiler_options: dict | None = None):
     """The lean D-step (cfg.lean_dis): same D update, no ABA/BAB forwards.
 
     Use only on non-logged discriminator iterations — its recon losses
@@ -282,12 +292,14 @@ def make_lean_dis_step(cfg: TrainConfig, policy: Policy | None = None, *,
     policy = policy or default_policy(cfg.precision)
     step = _make_branch(cfg, policy, "dis", lean=True)
     if jit:
-        step = jax.jit(step, donate_argnums=(0,))
+        step = jax.jit(step, donate_argnums=(0,),
+                       compiler_options=compiler_options)
     return step
 
 
 def make_scan_train_step(cfg: TrainConfig, policy: Policy | None = None, *,
-                         steps: int, jit: bool = True):
+                         steps: int, jit: bool = True,
+                         compiler_options: dict | None = None):
     """One XLA program running `steps` train iterations: batch gather from
     the HBM-resident dataset, curriculum rate, and the G/D alternation
     (lax.cond) all inside a lax.scan.
@@ -356,7 +368,8 @@ def make_scan_train_step(cfg: TrainConfig, policy: Policy | None = None, *,
         return lax.scan(body, ts, xs, unroll=unroll)
 
     if jit:
-        multi = jax.jit(multi, donate_argnums=(0,))
+        multi = jax.jit(multi, donate_argnums=(0,),
+                        compiler_options=compiler_options)
     return multi
 
 
