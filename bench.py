@@ -293,10 +293,12 @@ def measure_train_with_decode(image_size: int, batch: int,
         # would time a recompile instead of the pipeline.
         rng = np.random.RandomState(0)
         nd = len(files)
-        dummy_A = jnp.asarray(rng.rand(nd, image_size, image_size, 3),
-                              jnp.float32)
-        dummy_B = jnp.asarray(rng.rand(nd, image_size, image_size, 3),
-                              jnp.float32)
+        # Match the loader's DEVICE dtype (bf16 under
+        # DISCOGAN_DEVICE_CACHE_BF16=1) — an f32-typed warmup would leave
+        # the real bf16 program to recompile inside the cold window.
+        ddt = loader._device_dtype()
+        dummy_A = jnp.asarray(rng.rand(nd, image_size, image_size, 3), ddt)
+        dummy_B = jnp.asarray(rng.rand(nd, image_size, image_size, 3), ddt)
         di = jnp.asarray(rng.randint(0, nd, (k, batch)), jnp.int32)
         ts, losses = multi(ts, dummy_A, dummy_B, di, di, jnp.int32(0))
         _ = float(losses["gen_total"][-1])
@@ -576,9 +578,18 @@ def _install_watchdog(a100_est: float):
 
 
 def main(full: bool = False):
+    import os
     import sys
 
     import jax
+
+    # Every bench row names its configuration explicitly; a leftover
+    # exported A/B env var must not silently reconfigure one.
+    for var in ("DISCOGAN_SLIM_STATE", "DISCOGAN_REMAT_DIS",
+                "DISCOGAN_CONCAT_DIS", "DISCOGAN_SCAN_UNROLL"):
+        if os.environ.pop(var, None) is not None:
+            print(f"# bench: ignoring exported {var} (rows pin their own "
+                  f"config)", file=sys.stderr, flush=True)
 
     # Remote/tunnel compiles can take minutes; persist them across runs.
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
@@ -608,7 +619,7 @@ def main(full: bool = False):
         time.sleep(5)
         v512 = measure_train(512, 32, n_steps=15, warmup=3)
     # The shared tunnel/chip shows large run-to-run variance (observed
-    # 5.7k-14k img/s for identical programs); report the best of 3
+    # 5.7k-14k img/s for identical programs); report the best of 5
     # measurements as the least-polluted steady-state capability.
     # lean_dis=True is the production operating point: the weight
     # trajectory is bit-identical to the faithful graph (proven in

@@ -220,35 +220,42 @@ class DecodedCache:
                     # best-effort against crashed-creator races), neither
                     # can zero samples a sibling already decoded — unlike
                     # the truncating memmap 'w+' this replaces.
-                    def _alloc(path, size) -> bool:
-                        """Ensure `path` exists at `size`; True if it had
-                        to be created or resized."""
+                    def _needs(path, size) -> bool:
                         try:
-                            changed = os.stat(path).st_size != size
+                            return os.stat(path).st_size != size
                         except OSError:
-                            changed = True
+                            return True
+
+                    def _alloc(path, size):
                         fd = os.open(str(path), os.O_CREAT | os.O_RDWR,
                                      0o666)
                         try:
                             os.ftruncate(fd, size)
                         finally:
                             os.close(fd)
-                        return changed
 
-                    data_changed = _alloc(self.data_path,
-                                          int(np.prod(self.shape)) * 4)
-                    _alloc(self.status_path, len(self.paths))
-                    if data_changed:
-                        # The data file was (re)created or resized: any
-                        # surviving STATUS_OK flags would mark zeroed /
-                        # re-based samples as valid (e.g. the .dat was
-                        # deleted by disk cleanup while the tiny .status
-                        # survived). Invalidate them all.
-                        fd = os.open(str(self.status_path), os.O_RDWR)
+                    if _needs(self.data_path,
+                              int(np.prod(self.shape)) * 4):
+                        # The data file is about to be (re)created or
+                        # resized: any surviving STATUS_OK flags would mark
+                        # zeroed / re-based samples as valid (e.g. the .dat
+                        # was deleted by disk cleanup while the tiny
+                        # .status survived). Invalidate them BEFORE the new
+                        # data file can exist, and fsync, so no crash or
+                        # power-loss ordering can leave a complete-looking
+                        # (data, stale-OK-status) pair behind.
                         try:
-                            os.write(fd, b"\x00" * len(self.paths))
-                        finally:
-                            os.close(fd)
+                            fd = os.open(str(self.status_path), os.O_RDWR)
+                        except OSError:
+                            pass  # no status file yet — created zeroed below
+                        else:
+                            try:
+                                os.write(fd, b"\x00" * len(self.paths))
+                                os.fsync(fd)
+                            finally:
+                                os.close(fd)
+                    _alloc(self.data_path, int(np.prod(self.shape)) * 4)
+                    _alloc(self.status_path, len(self.paths))
             finally:
                 try:
                     lock.unlink()

@@ -1,10 +1,14 @@
 """ctypes bindings for the native preprocessing library (native/discodata.cpp).
 
-Build-on-first-use: compiles the C++ source with g++ -O3 into a cached
-shared object next to the source (rebuilt when the source changes). The
-fused `preprocess_u8` replaces the reference's PIL->numpy->cv2 chain
-(crop, invert+dilate+invert, resize, /255 — dataset.py:52-66) with one
-C++ pass.
+Build-on-first-use: compiles the C++ source with g++ -O3 -march=native
+into a HOST-LOCAL cache (~/.cache/discogan_native, override with
+DISCOGAN_NATIVE_CACHE), keyed by the source's content hash. The binary is
+deliberately never stored in the repo: -march=native makes it
+ISA-specific, so a committed .so from one machine could SIGILL on
+another; the content key also removes the mtime races of a
+next-to-source artifact. The fused `preprocess_u8` replaces the
+reference's PIL->numpy->cv2 chain (crop, invert+dilate+invert, resize,
+/255 — dataset.py:52-66) with one C++ pass.
 
 Selection order in the pipeline (data/preprocess.py): cv2 when importable
 (bit-parity with the reference), else this native path, else pure numpy.
@@ -29,23 +33,32 @@ from pathlib import Path
 import numpy as np
 
 _SRC = Path(__file__).resolve().parent.parent / "native" / "discodata.cpp"
-_LIB = _SRC.with_suffix(".so")
 _lib = None
 _DOMAIN_CODES = {None: 0, "A": 1, "B": 2}
 
 
 def _build() -> Path:
-    if _LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
-        return _LIB
+    import hashlib
+
+    digest = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    cache = Path(os.environ.get("DISCOGAN_NATIVE_CACHE",
+                                str(Path.home() / ".cache" /
+                                    "discogan_native")))
+    cache.mkdir(parents=True, exist_ok=True)
+    lib = cache / f"discodata-{digest}.so"
+    if lib.exists():
+        return lib
+    tmp = lib.with_name(f"{lib.name}.{os.getpid()}.tmp")
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           str(_SRC), "-o", str(_LIB)]
+           str(_SRC), "-o", str(tmp)]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
     except subprocess.CalledProcessError as e:
         raise RuntimeError(f"native build failed: {e.stderr}") from e
     except FileNotFoundError as e:
         raise RuntimeError("g++ not available for native build") from e
-    return _LIB
+    os.replace(tmp, lib)  # atomic — concurrent builders race safely
+    return lib
 
 
 def load():

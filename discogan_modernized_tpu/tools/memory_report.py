@@ -25,7 +25,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import sys
 
 
 def _force_virtual_devices(n: int):
@@ -86,7 +85,6 @@ def analyze(image_size: int, batch: int, modes, n_devices: int = 8,
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..core.mesh import make_mesh, DATA_AXIS, MODEL_AXIS
-    from ..core.precision import BF16
     from ..train.step import TrainConfig, make_train_steps
 
     # bf16 compute like the real chip (the CPU default policy is f32,

@@ -124,11 +124,14 @@ class TrainConfig:
 
 
 def resolve_slim_state(cfg: TrainConfig) -> str:
-    """"off" | "mv" | "all" (DISCOGAN_SLIM_STATE env wins over cfg)."""
+    """"off" | "mv" | "all". An EXPLICIT cfg.slim_state wins; the
+    DISCOGAN_SLIM_STATE env only fills in when cfg leaves it None (the
+    A/B-tool configuration) — a leftover exported env var must not
+    silently reconfigure a bench row or CLI run that named its state."""
 
-    s = os.environ.get("DISCOGAN_SLIM_STATE")
+    s = cfg.slim_state
     if s is None:
-        s = cfg.slim_state or "off"
+        s = os.environ.get("DISCOGAN_SLIM_STATE") or "off"
     s = s.lower()
     if s in ("", "off", "f32", "0", "none"):
         return "off"

@@ -53,8 +53,10 @@ def test_resolve_slim_state_env(monkeypatch):
     assert resolve_slim_state(_cfg("all")) == "all"
     monkeypatch.setenv("DISCOGAN_SLIM_STATE", "all")
     assert resolve_slim_state(_cfg(None)) == "all"
+    # An explicit cfg value wins over a leftover env var (a stray export
+    # must not silently reconfigure a run that named its state).
     monkeypatch.setenv("DISCOGAN_SLIM_STATE", "off")
-    assert resolve_slim_state(_cfg("all")) == "off"
+    assert resolve_slim_state(_cfg("all")) == "all"
     monkeypatch.delenv("DISCOGAN_SLIM_STATE")
     with pytest.raises(ValueError):
         resolve_slim_state(_cfg("fp8"))
