@@ -81,7 +81,8 @@ A100_ASSUMED_MFU = 0.35
 
 
 def measure_train_per_step(image_size: int, batch: int, n_steps: int = 30,
-                           warmup: int = 4, **cfg_kwargs) -> float:
+                           warmup: int = 4, compiler_options: dict | None = None,
+                           **cfg_kwargs) -> float:
     """Per-step (two-program) train throughput — the path the CLI falls
     back to when the fused-scan program exceeds the backend's compile
     limits (observed: 512px b32 scan fails to compile through the dev
@@ -100,7 +101,8 @@ def measure_train_per_step(image_size: int, batch: int, n_steps: int = 30,
     cfg = TrainConfig(image_size=image_size, model_arch="discogan",
                       **cfg_kwargs)
     ts = init_train_state(jax.random.PRNGKey(0), cfg)
-    gen_step, dis_step = make_train_steps(cfg)
+    gen_step, dis_step = make_train_steps(cfg,
+                                          compiler_options=compiler_options)
     rng = np.random.RandomState(0)
     A = jnp.asarray(rng.rand(batch, image_size, image_size, 3), jnp.float32)
     B = jnp.asarray(rng.rand(batch, image_size, image_size, 3), jnp.float32)
@@ -122,7 +124,8 @@ def measure_train_per_step(image_size: int, batch: int, n_steps: int = 30,
 
 def measure_train(image_size: int, batch: int, n_steps: int = 400,
                   warmup: int = 25, steps_per_call: int | None = None,
-                  n_data: int | None = None, **cfg_kwargs) -> float:
+                  n_data: int | None = None,
+                  compiler_options: dict | None = None, **cfg_kwargs) -> float:
     """Steady-state train images/sec for one config on the current chip,
     through the production path: HBM-resident dataset + the fused
     multi-step scan program (train/step.py make_scan_train_step) — one
@@ -145,7 +148,8 @@ def measure_train(image_size: int, batch: int, n_steps: int = 400,
 
     cfg = TrainConfig(image_size=image_size, model_arch="discogan",
                       **cfg_kwargs)
-    multi = make_scan_train_step(cfg, steps=steps_per_call)
+    multi = make_scan_train_step(cfg, steps=steps_per_call,
+                                 compiler_options=compiler_options)
 
     # Probe-compile with ABSTRACT arguments before allocating anything on
     # the device: at 512px b32 the scan program exceeds HBM at compile
@@ -175,6 +179,7 @@ def measure_train(image_size: int, batch: int, n_steps: int = 400,
             return measure_train_per_step(image_size, batch,
                                           n_steps=max(10, n_steps // 5),
                                           warmup=max(2, warmup // 2),
+                                          compiler_options=compiler_options,
                                           **cfg_kwargs)
 
     ts = init_train_state(jax.random.PRNGKey(0), cfg)
@@ -587,7 +592,8 @@ def main(full: bool = False):
     # Every bench row names its configuration explicitly; a leftover
     # exported A/B env var must not silently reconfigure one.
     for var in ("DISCOGAN_SLIM_STATE", "DISCOGAN_REMAT_DIS",
-                "DISCOGAN_CONCAT_DIS", "DISCOGAN_SCAN_UNROLL"):
+                "DISCOGAN_CONCAT_DIS", "DISCOGAN_SCAN_UNROLL",
+                "DISCOGAN_XLA_COPTS"):
         if os.environ.pop(var, None) is not None:
             print(f"# bench: ignoring exported {var} (rows pin their own "
                   f"config)", file=sys.stderr, flush=True)
@@ -614,8 +620,13 @@ def main(full: bool = False):
         # them, drain the dispatch queue and give the allocator's ASYNC
         # frees time to land — the second state init transiently
         # co-resides with whatever of the first is still in flight.
+        # xla_tpu_scoped_vmem_limit_kib=32768: +2% at this point, every
+        # interleaved round (PERF.md round-2 copt sweep); a wash at 64px,
+        # so only the 512px row pins it.
         v512f = measure_train(512, 32, n_steps=15, warmup=3,
-                              slim_state="all", remat=False, lean_dis=True)
+                              slim_state="all", remat=False, lean_dis=True,
+                              compiler_options={
+                                  "xla_tpu_scoped_vmem_limit_kib": "32768"})
         _ = float(jnp.add(jnp.ones(()), 1.0))  # queue-drain fence
         time.sleep(5)
         v512 = measure_train(512, 32, n_steps=15, warmup=3)

@@ -265,6 +265,30 @@ def _make_branch(cfg: TrainConfig, policy: Policy, which: str,
     return step
 
 
+def env_compiler_options() -> dict | None:
+    """XLA option overrides for the production path:
+    DISCOGAN_XLA_COPTS="key=value,key2=value2" (jax.jit compiler_options —
+    they ride the compile request, so they work through remote-compile
+    backends where host XLA_FLAGS would not). Measured win on this chip:
+    xla_tpu_scoped_vmem_limit_kib=32768 is +2% on the 512px b32
+    slim+no-remat point, a wash at 64px (PERF.md round-2 copt sweep).
+    Returns None when unset so jit-cache keys stay unchanged."""
+    s = os.environ.get("DISCOGAN_XLA_COPTS")
+    if not s:
+        return None
+    out = {}
+    for item in s.split(","):
+        item = item.strip()
+        if not item:
+            continue
+        k, _, v = item.partition("=")
+        if not k or not v:
+            raise ValueError(
+                f"DISCOGAN_XLA_COPTS entries must be key=value, got {item!r}")
+        out[k.strip()] = v.strip()
+    return out or None
+
+
 def make_train_steps(cfg: TrainConfig, policy: Policy | None = None, *, jit: bool = True,
                      compiler_options: dict | None = None):
     """Returns (gen_step, dis_step): (ts, A, B, rate) -> (new_ts, losses).
@@ -276,6 +300,8 @@ def make_train_steps(cfg: TrainConfig, policy: Policy | None = None, *, jit: boo
     XLA_FLAGS would not).
     """
     policy = policy or default_policy(cfg.precision)
+    if compiler_options is None:
+        compiler_options = env_compiler_options()
     gen_step = _make_branch(cfg, policy, "gen")
     dis_step = _make_branch(cfg, policy, "dis")
     if jit:
@@ -293,6 +319,8 @@ def make_lean_dis_step(cfg: TrainConfig, policy: Policy | None = None, *,
     Use only on non-logged discriminator iterations — its recon losses
     report 0 (graph.discogan_losses dis_only)."""
     policy = policy or default_policy(cfg.precision)
+    if compiler_options is None:
+        compiler_options = env_compiler_options()
     step = _make_branch(cfg, policy, "dis", lean=True)
     if jit:
         step = jax.jit(step, donate_argnums=(0,),
@@ -371,6 +399,8 @@ def make_scan_train_step(cfg: TrainConfig, policy: Policy | None = None, *,
         return lax.scan(body, ts, xs, unroll=unroll)
 
     if jit:
+        if compiler_options is None:
+            compiler_options = env_compiler_options()
         multi = jax.jit(multi, donate_argnums=(0,),
                         compiler_options=compiler_options)
     return multi

@@ -246,3 +246,25 @@ def test_reference_weights_pickle_requires_opt_in(tmp_path, monkeypatch):
     flat1 = jax.tree.leaves(params)
     flat2 = jax.tree.leaves(params2)
     assert all(np.allclose(a, b) for a, b in zip(flat1, flat2))
+
+
+# ------------------------------------------------- XLA compiler options
+
+def test_env_compiler_options_parsing(monkeypatch):
+    """DISCOGAN_XLA_COPTS="k=v,k2=v2" -> jit compiler_options dict; unset
+    or empty must return None so jit-cache keys stay unchanged."""
+    from discogan_modernized_tpu.train.step import env_compiler_options
+
+    monkeypatch.delenv("DISCOGAN_XLA_COPTS", raising=False)
+    assert env_compiler_options() is None
+    monkeypatch.setenv("DISCOGAN_XLA_COPTS", "")
+    assert env_compiler_options() is None
+    monkeypatch.setenv("DISCOGAN_XLA_COPTS",
+                       "xla_tpu_scoped_vmem_limit_kib=32768")
+    assert env_compiler_options() == {
+        "xla_tpu_scoped_vmem_limit_kib": "32768"}
+    monkeypatch.setenv("DISCOGAN_XLA_COPTS", " a=1 , b=two ")
+    assert env_compiler_options() == {"a": "1", "b": "two"}
+    monkeypatch.setenv("DISCOGAN_XLA_COPTS", "missing_value")
+    with pytest.raises(ValueError):
+        env_compiler_options()
