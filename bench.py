@@ -103,6 +103,13 @@ def measure_train_per_step(image_size: int, batch: int, n_steps: int = 30,
     ts = init_train_state(jax.random.PRNGKey(0), cfg)
     gen_step, dis_step = make_train_steps(cfg,
                                           compiler_options=compiler_options)
+    lean_step = None
+    if cfg.lean_dis:
+        # Mirror the CLI trainer's per-step path: the lean D-step runs on
+        # non-logged discriminator iterations (train/loop.py routing).
+        from discogan_modernized_tpu.train.step import make_lean_dis_step
+
+        lean_step = make_lean_dis_step(cfg, compiler_options=compiler_options)
     rng = np.random.RandomState(0)
     A = jnp.asarray(rng.rand(batch, image_size, image_size, 3), jnp.float32)
     B = jnp.asarray(rng.rand(batch, image_size, image_size, 3), jnp.float32)
@@ -110,7 +117,11 @@ def measure_train_per_step(image_size: int, batch: int, n_steps: int = 30,
     def run(ts, it0, n):
         losses = None
         for j in range(it0, it0 + n):
-            step = dis_step if cfg.is_dis_iter(j) else gen_step
+            if cfg.is_dis_iter(j):
+                step = (lean_step if lean_step is not None
+                        and j % cfg.log_interval != 0 else dis_step)
+            else:
+                step = gen_step
             ts, losses = step(ts, A, B, jnp.float32(cfg.rate_for(j)))
         _ = float(losses["gen_total"])
         _ = float(jax.tree.leaves(ts["models"]["gen_B"])[0].ravel()[0])
