@@ -98,8 +98,8 @@ def measure_train_per_step(image_size: int, batch: int, n_steps: int = 30,
         make_train_steps,
     )
 
-    cfg = TrainConfig(image_size=image_size, model_arch="discogan",
-                      **cfg_kwargs)
+    cfg_kwargs.setdefault("model_arch", "discogan")
+    cfg = TrainConfig(image_size=image_size, **cfg_kwargs)
     ts = init_train_state(jax.random.PRNGKey(0), cfg)
     gen_step, dis_step = make_train_steps(cfg,
                                           compiler_options=compiler_options)
@@ -157,8 +157,8 @@ def measure_train(image_size: int, batch: int, n_steps: int = 400,
     n_steps = (n_steps // steps_per_call) * steps_per_call or steps_per_call
     warmup = max(1, warmup // steps_per_call) * steps_per_call
 
-    cfg = TrainConfig(image_size=image_size, model_arch="discogan",
-                      **cfg_kwargs)
+    cfg_kwargs.setdefault("model_arch", "discogan")
+    cfg = TrainConfig(image_size=image_size, **cfg_kwargs)
     multi = make_scan_train_step(cfg, steps=steps_per_call,
                                  compiler_options=compiler_options)
 
