@@ -723,6 +723,14 @@ def main(full: bool = False):
                     "overhead cancels); round_trip includes the dev "
                     "tunnel's ~28 ms dispatch+sync",
         }
+        inf512 = measure_inference_p50(512, n=10)
+        detail["inference_p50_512px"] = {
+            "on_chip_ms": round(inf512["on_chip_ms"], 3),
+            "round_trip_p50_ms": round(inf512["round_trip_p50_ms"], 2),
+            "unit": "ms",
+            "note": "the reference's only working geometry (512px); same "
+                    "methodology as the 64px row",
+        }
         dec = measure_train_with_decode(64, 64)
         detail["train_64px_b64_with_real_decode"] = {
             "cold_first_epoch": round(dec["cold"], 1),
