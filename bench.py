@@ -106,10 +106,14 @@ def measure_train_per_step(image_size: int, batch: int, n_steps: int = 30,
     lean_step = None
     if cfg.lean_dis:
         # Mirror the CLI trainer's per-step path: the lean D-step runs on
-        # non-logged discriminator iterations (train/loop.py routing).
+        # non-logged discriminator iterations (cfg.use_lean_dis routing).
         from discogan_modernized_tpu.train.step import make_lean_dis_step
 
         lean_step = make_lean_dis_step(cfg, compiler_options=compiler_options)
+        # The first lean iteration is j=update_interval (j=0 is a LOGGED
+        # D iteration → full graph); warmup must reach it or the lean
+        # program's compile lands inside the timed window.
+        warmup = max(warmup, cfg.update_interval + 1)
     rng = np.random.RandomState(0)
     A = jnp.asarray(rng.rand(batch, image_size, image_size, 3), jnp.float32)
     B = jnp.asarray(rng.rand(batch, image_size, image_size, 3), jnp.float32)
@@ -117,9 +121,10 @@ def measure_train_per_step(image_size: int, batch: int, n_steps: int = 30,
     def run(ts, it0, n):
         losses = None
         for j in range(it0, it0 + n):
-            if cfg.is_dis_iter(j):
-                step = (lean_step if lean_step is not None
-                        and j % cfg.log_interval != 0 else dis_step)
+            if cfg.use_lean_dis(j):
+                step = lean_step
+            elif cfg.is_dis_iter(j):
+                step = dis_step
             else:
                 step = gen_step
             ts, losses = step(ts, A, B, jnp.float32(cfg.rate_for(j)))

@@ -29,7 +29,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..core.mesh import DATA_AXIS
 from ..core.precision import Policy, default_policy
-from ..train.step import TrainConfig, _make_branch
+from ..train.step import TrainConfig, _make_branch, env_compiler_options
 
 
 def _ts_specs(cfg: TrainConfig):
@@ -97,7 +97,11 @@ def _wrap_dp(cfg: TrainConfig, mesh, body, *, jit: bool):
         out_specs=(specs, P()),
     )
     if jit:
-        mapped = jax.jit(mapped, donate_argnums=(0,))
+        # DISCOGAN_XLA_COPTS applies here too — the parallel modes must
+        # honor the same production compiler-option knob as the
+        # single-device step builders (train/step.py).
+        mapped = jax.jit(mapped, donate_argnums=(0,),
+                         compiler_options=env_compiler_options())
     return mapped
 
 

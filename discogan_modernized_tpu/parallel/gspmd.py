@@ -24,7 +24,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..core.mesh import DATA_AXIS, MODEL_AXIS
 from ..core.precision import Policy, default_policy
-from ..train.step import TrainConfig, _make_branch
+from ..train.step import TrainConfig, _make_branch, env_compiler_options
 
 # Conv kernels are HWIO; shard the output-channel dim when it's wide
 # enough to split. 100-channel latent convs and 3-channel heads stay
@@ -152,6 +152,7 @@ def make_gspmd_train_steps(cfg: TrainConfig, mesh, policy: Policy | None = None,
                 in_shardings=(shardings, batch, batch, scalar),
                 out_shardings=(shardings, scalar),
                 donate_argnums=(0,),
+                compiler_options=env_compiler_options(),
             )
 
         compiled = {}

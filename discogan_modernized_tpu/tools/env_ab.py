@@ -140,8 +140,8 @@ def main():
             for j in range(it0, it0 + k):
                 if c.is_dis_iter(j):
                     if isinstance(dis_step, tuple):  # (full, lean)
-                        step = (dis_step[0] if j % c.log_interval == 0
-                                else dis_step[1])
+                        step = (dis_step[1] if c.use_lean_dis(j)
+                                else dis_step[0])
                     else:
                         step = dis_step
                 else:

@@ -593,10 +593,11 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
             rate = jnp.float32(cfg.rate_for(iters))
             if cfg.is_dis_iter(iters):
                 # Lean D-step on non-logged iterations only: its recon
-                # losses report 0, so logged lines must use the full graph.
+                # losses report 0, so logged lines must use the full graph
+                # (routing predicate centralized in cfg.use_lean_dis).
                 step = (lean_dis_step
                         if lean_dis_step is not None
-                        and iters % args.log_interval != 0 else dis_step)
+                        and cfg.use_lean_dis(iters) else dis_step)
             else:
                 step = gen_step
             profiler.tick(iters)

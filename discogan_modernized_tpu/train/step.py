@@ -122,6 +122,16 @@ class TrainConfig:
         """D trains on iters % update_interval == 0 (ref :385)."""
         return iters % self.update_interval == 0
 
+    def use_lean_dis(self, iters: int) -> bool:
+        """True when the lean D-step program handles this iteration:
+        lean_dis is on, it's a D iteration, and it's NOT a logged one
+        (logged lines need the full graph's recon values — the
+        training_log contract). Host-side routing used by the CLI loop,
+        bench, and env_ab; the fused scan program implements the traced
+        equivalent of this same predicate (make_scan_train_step)."""
+        return (self.lean_dis and self.is_dis_iter(iters)
+                and iters % self.log_interval != 0)
+
 
 def resolve_slim_state(cfg: TrainConfig) -> str:
     """"off" | "mv" | "all". An EXPLICIT cfg.slim_state wins; the

@@ -268,3 +268,19 @@ def test_env_compiler_options_parsing(monkeypatch):
     monkeypatch.setenv("DISCOGAN_XLA_COPTS", "missing_value")
     with pytest.raises(ValueError):
         env_compiler_options()
+
+
+def test_use_lean_dis_routing():
+    """cfg.use_lean_dis centralizes the lean-D routing predicate: lean on
+    non-logged D iterations only (logged lines need the full graph)."""
+    from discogan_modernized_tpu.train.step import TrainConfig
+
+    cfg = TrainConfig(lean_dis=True, update_interval=3, log_interval=50)
+    assert not cfg.use_lean_dis(0)        # D iter but logged
+    assert not cfg.use_lean_dis(1)        # G iter
+    assert cfg.use_lean_dis(3)            # first lean D iter
+    assert cfg.use_lean_dis(6)
+    assert not cfg.use_lean_dis(150)      # D iter AND logged -> full
+    assert not cfg.use_lean_dis(151)      # G iter
+    off = TrainConfig(lean_dis=False)
+    assert not any(off.use_lean_dis(j) for j in range(10))
