@@ -140,6 +140,14 @@ def add_common_flags(parser: argparse.ArgumentParser, *, task_default: str,
                              'most of the ~8GB f32 state that caps 512px '
                              'batch size on a 16GB chip (PERF.md). '
                              'Default off (the fidelity-gate config).')
+    parser.add_argument('--xla_copts', type=str, default=None,
+                        metavar='KEY=VAL[,KEY=VAL...]',
+                        help='(extension) per-program XLA compiler-option '
+                             'overrides (jax.jit compiler_options), e.g. '
+                             'xla_tpu_scoped_vmem_limit_kib=32768 (+2%% '
+                             'measured at 512px b32 — PERF.md). Equivalent '
+                             'to the DISCOGAN_XLA_COPTS env var; the flag '
+                             'wins when both are set.')
     parser.add_argument('--remat', type=str, default=None,
                         choices=['on', 'off'],
                         help='Activation rematerialization (default: auto, '

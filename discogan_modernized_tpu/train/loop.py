@@ -120,6 +120,15 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
         jax.config.update("jax_debug_nans", True)
         print("디버그 모드: NaN/Inf 발생 시 즉시 중단")
 
+    # --xla_copts KEY=VAL,...: publish to the env knob the step builders
+    # (and parallel wrappers) read, validating the syntax up front so a
+    # typo fails here, not minutes into a remote compile.
+    if getattr(args, "xla_copts", None):
+        os.environ["DISCOGAN_XLA_COPTS"] = args.xla_copts
+        from .step import env_compiler_options
+
+        env_compiler_options()  # raises ValueError on malformed entries
+
     # Multi-host slice: TPU-runtime rendezvous replaces the reference's
     # MASTER_ADDR/PORT + NCCL init (distributed_image_translation.py:26-40).
     if getattr(args, "multihost", False):

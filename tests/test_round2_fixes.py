@@ -284,3 +284,24 @@ def test_use_lean_dis_routing():
     assert not cfg.use_lean_dis(151)      # G iter
     off = TrainConfig(lean_dis=False)
     assert not any(off.use_lean_dis(j) for j in range(10))
+
+
+def test_cli_xla_copts_validation(tmp_path, monkeypatch):
+    """--xla_copts is validated up front (a typo must fail immediately,
+    not minutes into a remote compile) and published to the env knob."""
+    import pytest as _pytest
+
+    from discogan_modernized_tpu.cli.image_translation import main
+
+    monkeypatch.delenv("DISCOGAN_XLA_COPTS", raising=False)
+    argv = [
+        "--task_name=synthetic", "--model_arch=gan", "--image_size=16",
+        "--batch_size=8", "--epochs=1",
+        f"--results_dir={tmp_path}/results",
+        f"--models_dir={tmp_path}/models",
+        "--xla_copts=oops_no_value",
+    ]
+    with _pytest.raises(ValueError, match="key=value"):
+        main(argv)
+    # The flag reached the env knob before validation failed.
+    assert os.environ["DISCOGAN_XLA_COPTS"] == "oops_no_value"
