@@ -616,7 +616,7 @@ def main(full: bool = False):
 
     # Remote/tunnel compiles can take minutes; persist them across runs.
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
     from discogan_modernized_tpu.train import TrainConfig, init_train_state, make_train_steps

@@ -56,7 +56,7 @@ def main(argv=None):
     try:
         jax.config.update("jax_compilation_cache_dir",
                           str(Path.home() / ".cache" / "jax_comp"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
 

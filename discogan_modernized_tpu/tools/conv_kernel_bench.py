@@ -92,7 +92,7 @@ def main(argv=None):
     from jax import lax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from ..ops.pallas_conv import conv2d_k4s2p1, conv2d_k4s2p1_dw
 

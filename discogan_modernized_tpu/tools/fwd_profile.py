@@ -132,7 +132,7 @@ def main(argv=None):
 
     jax.config.update("jax_compilation_cache_dir",
                       "/root/.cache/jax_comp")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     rows = profile(args.image_size, args.batch, args.precision)
     total = sum(r["ms"] for r in rows)

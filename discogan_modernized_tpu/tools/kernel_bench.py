@@ -53,7 +53,7 @@ def main():
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from discogan_modernized_tpu.ops import pallas_fused as pf
     from discogan_modernized_tpu.ops.batchnorm import batchnorm_apply

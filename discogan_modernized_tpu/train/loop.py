@@ -112,7 +112,7 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
     try:
         jax.config.update("jax_compilation_cache_dir",
                           str(Path.home() / ".cache" / "jax_comp"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
 
