@@ -304,7 +304,29 @@ class DecodedCache:
             self.status[i] = _STATUS_FAILED
         else:
             self.data[i] = arr
+            # Write-ordering: the kernel flushes dirty pages of the two
+            # memmaps in arbitrary order, so an OS/power crash could
+            # persist STATUS_OK while the data page holds zeros — a
+            # permanently poisoned sample the fingerprint can't catch
+            # (the same window the creation path closes with its fsync'd
+            # status invalidation, _create_locked). msync just this
+            # sample's data range to disk BEFORE the OK flag goes in.
+            self._sync_data_range(i)
             self.status[i] = _STATUS_OK
+
+    def _sync_data_range(self, i: int):
+        """msync the pages backing sample i of the data memmap."""
+        import mmap as _mmap
+
+        try:
+            stride = self.data.strides[0]
+            gran = _mmap.ALLOCATIONGRANULARITY
+            start = (i * stride // gran) * gran
+            end = min((i + 1) * stride, self.data.nbytes)
+            self.data.base.flush(start, end - start)
+        except Exception:
+            # Fall back to a full flush (correct, just coarser).
+            self.data.flush()
 
     @property
     def hit_fraction(self) -> float:

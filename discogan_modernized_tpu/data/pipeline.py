@@ -157,7 +157,8 @@ class PrefetchLoader:
                 # Thread-pool decode through the shared path (cache
                 # read/fill + parallel workers — the one-time cold decode
                 # is the only decode cost the scan path ever pays).
-                arrs = self._decode_paths(paths[i:i + chunk], domain, cache)
+                arrs = self._decode_paths(paths[i:i + chunk], domain,
+                                          cache, keep_positions=True)
                 arrs = [a if a is not None else np.random.rand(
                             self.image_size, self.image_size, 3
                         ).astype(np.float32)
@@ -219,9 +220,13 @@ class PrefetchLoader:
             ib = jnp.asarray(pb[i * b:(i + 1) * b])
             yield self._dev_A[ia], self._dev_B[ib]
 
-    def _decode_paths(self, paths, domain, cache):
+    def _decode_paths(self, paths, domain, cache, keep_positions=False):
         """Decode a list of paths, reading/filling the sample cache.
-        Failed decodes are skipped (ref dataset.py:44-46) and remembered."""
+        Failed decodes are skipped (ref dataset.py:44-46) and remembered.
+        keep_positions=True returns the raw per-path list (None for
+        failures) instead of the compacted stack — required by consumers
+        whose downstream shapes must stay len(paths) (the HBM device
+        dataset)."""
         from .preprocess import decode_image
 
         out = [None] * len(paths)
@@ -257,6 +262,8 @@ class PrefetchLoader:
                 if cache is not None:
                     cache.store(paths[j], arr)
 
+        if keep_positions:
+            return out
         images = [o for o in out if o is not None]
         if not images:
             raise ValueError("유효한 이미지가 없습니다.")
@@ -284,6 +291,18 @@ class PrefetchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            # A plain q.put can block forever if the consumer abandons the
+            # generator mid-epoch (preemption return, exception) with the
+            # queue full — leaking this thread and its decoded batches.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.25)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for i in range(skip, n):
@@ -294,10 +313,11 @@ class PrefetchLoader:
                                      self.cache_A)
                     B = self._decode(db[sl], self.paths_B, self.domain_B,
                                      self.cache_B)
-                    q.put((A, B))
-                q.put(None)
+                    if not put_or_stop((A, B)):
+                        return
+                put_or_stop(None)
             except Exception as e:  # surface decode crashes to the consumer
-                q.put(e)
+                put_or_stop(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

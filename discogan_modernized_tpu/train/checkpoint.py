@@ -116,19 +116,35 @@ def save_train_state(model_path, ts, iters: int, meta: dict | None = None,
     mesh-sharded train state directly (GSPMD runs) and restores with the
     original shardings on multi-host meshes.
     """
+    import os
+    import shutil
+
     model_path = Path(model_path)
     model_path.mkdir(parents=True, exist_ok=True)
+    # Crash-safe ordering: this save runs from the SIGTERM preemption
+    # path, so a kill mid-write must never destroy the previous good
+    # checkpoint. Everything is written under a temp name and moved into
+    # place with os.replace/rename (atomic within a filesystem). A crash
+    # between the archive replace and the meta replace leaves the NEW
+    # archive with the PREVIOUS meta's iters — benign (resume re-trains a
+    # few iterations from newer weights); a truncated/corrupt archive can
+    # never become the live one.
     if backend == "orbax":
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
         ckpt_dir = (model_path / "train_state_orbax").absolute()
-        if ckpt_dir.exists():
-            import shutil
-
-            shutil.rmtree(ckpt_dir)
-        ckptr.save(ckpt_dir, ts)
+        tmp_dir = (model_path / "train_state_orbax.new").absolute()
+        if tmp_dir.exists():
+            shutil.rmtree(tmp_dir)
+        ckptr.save(tmp_dir, ts)
         ckptr.wait_until_finished()
+        # Swap: the only non-atomic window is between rmtree and rename;
+        # load_train_state falls back to the .new dir if the final one
+        # vanished there.
+        if ckpt_dir.exists():
+            shutil.rmtree(ckpt_dir)
+        os.rename(tmp_dir, ckpt_dir)
     else:
         leaves, treedef = jax.tree.flatten(ts)
 
@@ -138,11 +154,17 @@ def save_train_state(model_path, ts, iters: int, meta: dict | None = None,
             a = np.asarray(l)
             return a.astype(np.float32) if str(a.dtype) == "bfloat16" else a
 
-        np.savez(model_path / "train_state.npz",
-                 **{f"leaf_{i}": storable(l) for i, l in enumerate(leaves)})
-    with open(model_path / "train_state_meta.json", "w") as f:
+        # NOTE: np.savez appends ".npz" to names that lack it — the temp
+        # name must already end in .npz or the replace misses the file.
+        tmp = model_path / "train_state.tmp.npz"
+        np.savez(tmp, **{f"leaf_{i}": storable(l)
+                         for i, l in enumerate(leaves)})
+        os.replace(tmp, model_path / "train_state.npz")
+    tmp_meta = model_path / "train_state_meta.json.tmp"
+    with open(tmp_meta, "w") as f:
         json.dump({"iters": iters, "backend": backend,
                    **(meta or {})}, f)
+    os.replace(tmp_meta, model_path / "train_state_meta.json")
 
 
 def load_train_state(model_path, ts_template):
@@ -155,8 +177,14 @@ def load_train_state(model_path, ts_template):
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        ts = ckptr.restore((model_path / "train_state_orbax").absolute(),
-                           ts_template)
+        ckpt_dir = (model_path / "train_state_orbax").absolute()
+        if not ckpt_dir.exists():
+            # A crash between save_train_state's rmtree and rename leaves
+            # only the fully-written .new dir — recover from it.
+            new_dir = (model_path / "train_state_orbax.new").absolute()
+            if new_dir.exists():
+                ckpt_dir = new_dir
+        ts = ckptr.restore(ckpt_dir, ts_template)
         return ts, int(meta["iters"])
     with np.load(model_path / "train_state.npz") as z:
         leaves_t, treedef = jax.tree.flatten(ts_template)

@@ -106,7 +106,19 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
         try:
             jax.config.update("jax_platforms", "cpu")
         except Exception:
-            pass
+            # The update fails when a backend is already initialized
+            # (library callers). Running on an accelerator the user
+            # explicitly opted out of is never OK — on a shared dev chip
+            # it also corrupts any concurrent measurement — so fail
+            # loudly instead of proceeding. (Probing default_backend()
+            # only HERE: in the success path it would initialize the
+            # backend before jax.distributed.initialize.)
+            if jax.default_backend() != "cpu":
+                raise SystemExit(
+                    "--device cpu 요청이 적용되지 않았습니다 (backend "
+                    f"'{jax.default_backend()}' already initialized) — "
+                    "run in a fresh process or set DISCOGAN_FORCE_CPU=1 "
+                    "before importing jax.")
 
     # Remote/tunnel first compiles are minutes; persist across runs.
     try:
@@ -157,8 +169,22 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
     if n_proc > 1:
         # Per-host dataset shard (DistributedSampler analog, ref :203-208);
         # --batch_size is per-host, like the reference's per-rank batch.
-        data_A = np.asarray(data_A)[jax.process_index()::n_proc]
-        data_B = np.asarray(data_B)[jax.process_index()::n_proc]
+        # Shards MUST be equal length: every train step is a global SPMD
+        # program, so a host with one extra batch per epoch would dispatch
+        # a step the others never join — a cross-host collective hang.
+        # DistributedSampler guarantees this by padding; we truncate
+        # (losing at most n_proc-1 samples per domain per epoch).
+        def host_shard(d):
+            d = np.asarray(d)
+            per = len(d) // n_proc
+            if per == 0:
+                raise ValueError(
+                    f"dataset smaller than process count ({len(d)} < "
+                    f"{n_proc}) — every host needs at least one sample")
+            return d[jax.process_index()::n_proc][:per]
+
+        data_A = host_shard(data_A)
+        data_B = host_shard(data_B)
     test_A_t, test_B_t = preprocess_test_set(args, test_A, test_B, angle_variant)
     n_samples = min(5, len(test_A_t), len(test_B_t))
 
@@ -377,293 +403,305 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
     except ValueError:  # not main thread
         pass
 
-    # A resumed run continues to the ORIGINAL total (epochs * n_batches),
-    # not start_iters + epochs * n_batches: completed epochs are skipped
-    # and the partially-trained epoch resumes mid-way, so monitor
-    # auto-restarts are lossless rather than over-training.
-    iters = start_iters
-    start_epoch = min(start_iters // n_batches, args.epochs)
-    skip_batches = start_iters - start_epoch * n_batches
-    t_start = time.time()
+    # Restore the caller's SIGTERM disposition on EVERY exit path
+    # (normal completion, preemption returns, exceptions) — a stale
+    # handler bound to this run's dead state would silently disable
+    # SIGTERM for long-lived callers (HP-search driver, tests).
+    try:
 
-    # --profile DIR: capture a bounded jax.profiler trace window of the
-    # hot loop (the reference's only profiling is out-of-process
-    # nvidia-smi sampling — SURVEY §5).
-    from .profiling import ProfileWindow
+        # A resumed run continues to the ORIGINAL total (epochs * n_batches),
+        # not start_iters + epochs * n_batches: completed epochs are skipped
+        # and the partially-trained epoch resumes mid-way, so monitor
+        # auto-restarts are lossless rather than over-training.
+        iters = start_iters
+        start_epoch = min(start_iters // n_batches, args.epochs)
+        skip_batches = start_iters - start_epoch * n_batches
+        t_start = time.time()
 
-    profiler = ProfileWindow(getattr(args, "profile", None)
-                             if is_main else None)
+        # --profile DIR: capture a bounded jax.profiler trace window of the
+        # hot loop (the reference's only profiling is out-of-process
+        # nvidia-smi sampling — SURVEY §5).
+        from .profiling import ProfileWindow
 
-    # Fused multi-step driver: when the decoded dataset is HBM-resident
-    # (single process, no mesh), run `steps_per_call` iterations per XLA
-    # dispatch — lax.scan with on-device batch gather (train/step.py
-    # make_scan_train_step). Calls are split exactly at sample/checkpoint
-    # iterations so every cadence (and the training_log contract, which
-    # reads per-iteration losses out of the stacked result) is preserved.
-    steps_per_call = getattr(args, "steps_per_call", None)
-    scan_eligible = mesh is None and n_proc == 1 and loader.device_cache
-    if steps_per_call is None:
-        # Auto: fuse steps only at small image sizes. At >= 256px a step
-        # is 100-300 ms, so dispatch amortization is worth ~1% while the
-        # fused program compiles for tens of minutes (512px b8 lean) or
-        # exceeds HBM at compile (512px b32) — not a good default trade.
-        steps_per_call = 8 if scan_eligible and args.image_size <= 128 else 1
-    if steps_per_call > 1 and scan_eligible:
-        from .step import make_scan_train_step
+        profiler = ProfileWindow(getattr(args, "profile", None)
+                                 if is_main else None)
 
-        scan_progs: dict = {}
+        # Fused multi-step driver: when the decoded dataset is HBM-resident
+        # (single process, no mesh), run `steps_per_call` iterations per XLA
+        # dispatch — lax.scan with on-device batch gather (train/step.py
+        # make_scan_train_step). Calls are split exactly at sample/checkpoint
+        # iterations so every cadence (and the training_log contract, which
+        # reads per-iteration losses out of the stacked result) is preserved.
+        steps_per_call = getattr(args, "steps_per_call", None)
+        scan_eligible = mesh is None and n_proc == 1 and loader.device_cache
+        if steps_per_call is None:
+            # Auto: fuse steps only at small image sizes. At >= 256px a step
+            # is 100-300 ms, so dispatch amortization is worth ~1% while the
+            # fused program compiles for tens of minutes (512px b8 lean) or
+            # exceeds HBM at compile (512px b32) — not a good default trade.
+            steps_per_call = 8 if scan_eligible and args.image_size <= 128 else 1
+        if steps_per_call > 1 and scan_eligible:
+            from .step import make_scan_train_step
 
-        def scan_prog(k):
-            if k not in scan_progs:
-                scan_progs[k] = make_scan_train_step(cfg, steps=k)
-            return scan_progs[k]
+            scan_progs: dict = {}
 
-        # Probe-compile with ABSTRACT args before building the HBM
-        # dataset: at 512px b32 the fused-scan program exceeds HBM at
-        # compile time (~367MB over, mostly layout padding), and finding
-        # that out after allocating the device cache risks transient
-        # co-residency OOMs (tunnel buffer deletion is async). The real
-        # call after a successful probe hits the persistent compile
-        # cache. Only probed in the at-risk regime (>= 256px, where a
-        # user forced --steps_per_call) — small sizes never compile-OOM
-        # and would pay the probe as a duplicate compile on fast-compile
-        # backends (CPU tests fall under the 1s persistent-cache floor).
-        if args.image_size >= 256:
-            sds = jax.ShapeDtypeStruct
-            nA, nB = len(loader.data_A), len(loader.data_B)
-            sz, bs = args.image_size, args.batch_size
-            # Probe with the loader's ACTUAL device-dataset dtype: with
-            # DISCOGAN_DEVICE_CACHE_BF16=1 the HBM dataset is bf16, and a
-            # f32-typed probe would validate a program that never runs
-            # while the real bf16 program compiles unprobed.
-            ddt = loader._device_dtype()
-            abstract = (
-                jax.tree.map(lambda x: sds(x.shape, x.dtype), ts),
-                sds((nA, sz, sz, 3), ddt),
-                sds((nB, sz, sz, 3), ddt),
-                sds((steps_per_call, bs), jnp.int32),
-                sds((steps_per_call, bs), jnp.int32),
-                sds((), jnp.int32),
-            )
-            try:
-                scan_prog(steps_per_call).lower(*abstract).compile()
-            except Exception as e:
-                print(f"경고: 다단계 scan 프로그램 컴파일 실패 — 단일 스텝 "
-                      f"경로로 폴백합니다 "
-                      f"({type(e).__name__}: {str(e)[:120]})")
-                scan_progs.clear()
-                loader.release_device_cache()
-                scan_eligible = False
+            def scan_prog(k):
+                if k not in scan_progs:
+                    scan_progs[k] = make_scan_train_step(cfg, steps=k)
+                return scan_progs[k]
 
-    if steps_per_call > 1 and scan_eligible:
-        dev_A, dev_B = loader.device_data()
+            # Probe-compile with ABSTRACT args before building the HBM
+            # dataset: at 512px b32 the fused-scan program exceeds HBM at
+            # compile time (~367MB over, mostly layout padding), and finding
+            # that out after allocating the device cache risks transient
+            # co-residency OOMs (tunnel buffer deletion is async). The real
+            # call after a successful probe hits the persistent compile
+            # cache. Only probed in the at-risk regime (>= 256px, where a
+            # user forced --steps_per_call) — small sizes never compile-OOM
+            # and would pay the probe as a duplicate compile on fast-compile
+            # backends (CPU tests fall under the 1s persistent-cache floor).
+            if args.image_size >= 256:
+                sds = jax.ShapeDtypeStruct
+                nA, nB = len(loader.data_A), len(loader.data_B)
+                sz, bs = args.image_size, args.batch_size
+                # Probe with the loader's ACTUAL device-dataset dtype: with
+                # DISCOGAN_DEVICE_CACHE_BF16=1 the HBM dataset is bf16, and a
+                # f32-typed probe would validate a program that never runs
+                # while the real bf16 program compiles unprobed.
+                ddt = loader._device_dtype()
+                abstract = (
+                    jax.tree.map(lambda x: sds(x.shape, x.dtype), ts),
+                    sds((nA, sz, sz, 3), ddt),
+                    sds((nB, sz, sz, 3), ddt),
+                    sds((steps_per_call, bs), jnp.int32),
+                    sds((steps_per_call, bs), jnp.int32),
+                    sds((), jnp.int32),
+                )
+                try:
+                    scan_prog(steps_per_call).lower(*abstract).compile()
+                except Exception as e:
+                    print(f"경고: 다단계 scan 프로그램 컴파일 실패 — 단일 스텝 "
+                          f"경로로 폴백합니다 "
+                          f"({type(e).__name__}: {str(e)[:120]})")
+                    scan_progs.clear()
+                    loader.release_device_cache()
+                    scan_eligible = False
 
-        def index_stream():
-            skip = skip_batches
-            for _ in range(start_epoch, args.epochs):
-                pa, pb = loader.epoch_perms()
-                bsz = args.batch_size
-                for i in range(skip, n_batches):
-                    yield (pa[i * bsz:(i + 1) * bsz],
-                           pb[i * bsz:(i + 1) * bsz])
-                skip = 0
+        if steps_per_call > 1 and scan_eligible:
+            dev_A, dev_B = loader.device_data()
 
-        stream = index_stream()
-        prog = tqdm(total=total_iterations - start_iters,
-                    desc="Training (scan)") if tqdm else None
-        intervals = (args.image_save_interval, args.model_save_interval)
-        scan_failed = False
-        while iters < total_iterations:
-            profiler.tick(iters)
-            k = min(steps_per_call, total_iterations - iters)
-            for iv in intervals:
-                nxt = ((iters + iv - 1) // iv) * iv  # next snapshot iter
-                k = min(k, nxt - iters + 1)
-            ia = np.stack([next(stream) for _ in range(k)], axis=0)
-            ia, ib = ia[:, 0], ia[:, 1]
-            try:
-                ts, losses = scan_prog(k)(
-                    ts, dev_A, dev_B,
-                    jnp.asarray(ia, jnp.int32), jnp.asarray(ib, jnp.int32),
-                    jnp.int32(iters))
-            except Exception as e:
-                # Backend compile limits: the fused-scan program at large
-                # image sizes/batches can exceed what the compiler service
-                # accepts (observed: 512px b32 fails while b8 compiles —
-                # PERF.md). Before any step ran, fall back to the
-                # per-step path; donated buffers are untouched on a
-                # compile failure, so the train state is still valid.
-                # A RUNTIME failure after dispatch, however, consumes the
-                # donated state — no fallback is possible then.
-                # Fall back whenever the donated train state survived —
-                # compile failures of clipped-k programs built MID-run
-                # (k shrinks near save intervals) are as recoverable as a
-                # first-call failure; only a post-dispatch runtime failure
-                # consumes the donated buffers and cannot be retried.
-                if any(getattr(x, "is_deleted", lambda: False)()
-                       for x in jax.tree.leaves(ts)):
-                    raise
-                print(f"경고: 다단계 scan 프로그램 컴파일 실패 — "
-                      f"단일 스텝 경로로 폴백합니다 "
-                      f"({type(e).__name__}: {str(e)[:120]})")
-                scan_failed = True
-                # The per-step loop below resumes from wherever the scan
-                # path got to (first-call failure: iters == start_iters
-                # and this is a no-op).
-                start_epoch = min(iters // n_batches, args.epochs)
-                skip_batches = iters - start_epoch * n_batches
-                # Release the HBM-resident dataset and cached scan
-                # programs before the per-step path allocates its own
-                # working set (at 512px the failure IS an HBM OOM —
-                # co-residency would OOM the fallback too).
-                del dev_A, dev_B
-                scan_progs.clear()
-                loader.release_device_cache()
+            def index_stream():
+                skip = skip_batches
+                for _ in range(start_epoch, args.epochs):
+                    pa, pb = loader.epoch_perms()
+                    bsz = args.batch_size
+                    for i in range(skip, n_batches):
+                        yield (pa[i * bsz:(i + 1) * bsz],
+                               pb[i * bsz:(i + 1) * bsz])
+                    skip = 0
+
+            stream = index_stream()
+            prog = tqdm(total=total_iterations - start_iters,
+                        desc="Training (scan)") if tqdm else None
+            intervals = (args.image_save_interval, args.model_save_interval)
+            scan_failed = False
+            while iters < total_iterations:
+                profiler.tick(iters)
+                k = min(steps_per_call, total_iterations - iters)
+                for iv in intervals:
+                    nxt = ((iters + iv - 1) // iv) * iv  # next snapshot iter
+                    k = min(k, nxt - iters + 1)
+                ia = np.stack([next(stream) for _ in range(k)], axis=0)
+                ia, ib = ia[:, 0], ia[:, 1]
+                try:
+                    ts, losses = scan_prog(k)(
+                        ts, dev_A, dev_B,
+                        jnp.asarray(ia, jnp.int32), jnp.asarray(ib, jnp.int32),
+                        jnp.int32(iters))
+                except Exception as e:
+                    # Backend compile limits: the fused-scan program at large
+                    # image sizes/batches can exceed what the compiler service
+                    # accepts (observed: 512px b32 fails while b8 compiles —
+                    # PERF.md). Before any step ran, fall back to the
+                    # per-step path; donated buffers are untouched on a
+                    # compile failure, so the train state is still valid.
+                    # A RUNTIME failure after dispatch, however, consumes the
+                    # donated state — no fallback is possible then.
+                    # Fall back whenever the donated train state survived —
+                    # compile failures of clipped-k programs built MID-run
+                    # (k shrinks near save intervals) are as recoverable as a
+                    # first-call failure; only a post-dispatch runtime failure
+                    # consumes the donated buffers and cannot be retried.
+                    if any(getattr(x, "is_deleted", lambda: False)()
+                           for x in jax.tree.leaves(ts)):
+                        raise
+                    print(f"경고: 다단계 scan 프로그램 컴파일 실패 — "
+                          f"단일 스텝 경로로 폴백합니다 "
+                          f"({type(e).__name__}: {str(e)[:120]})")
+                    scan_failed = True
+                    # The per-step loop below resumes from wherever the scan
+                    # path got to (first-call failure: iters == start_iters
+                    # and this is a no-op).
+                    start_epoch = min(iters // n_batches, args.epochs)
+                    skip_batches = iters - start_epoch * n_batches
+                    # Release the HBM-resident dataset and cached scan
+                    # programs before the per-step path allocates its own
+                    # working set (at 512px the failure IS an HBM OOM —
+                    # co-residency would OOM the fallback too).
+                    del dev_A, dev_B
+                    scan_progs.clear()
+                    loader.release_device_cache()
+                    if prog:
+                        prog.close()
+                    break
+                if any((iters + j) % args.log_interval == 0 for j in range(k)):
+                    host = jax.device_get(losses)
+                    for j in range(k):
+                        i = iters + j
+                        if i % args.log_interval != 0:
+                            continue
+                        vals = {key: float(host[key][j]) for key in host}
+                        if not all(np.isfinite(v) for v in vals.values()):
+                            print("경고: 손실에 NaN/Inf 감지 — --debug 로 첫 "
+                                  "발생 지점을 추적할 수 있습니다")
+                        if logger is not None:
+                            logger.log(i, total_iterations, vals,
+                                       fm=not angle_variant)
+                        if prog:
+                            prog.set_postfix({
+                                "D_loss": f"{vals['dis_total']:.4f}",
+                                "G_loss": f"{vals['gen_total']:.4f}"})
+                iters += k
+                last = iters - 1
+                if last % args.image_save_interval == 0 and is_main:
+                    new_states = dump_samples(last)
+                    ts = dict(ts, model_states=new_states)
+                if last % args.model_save_interval == 0 and is_main:
+                    hbm_sample(last)
+                    save_reference_layout(model_path, ts, last)
+                    save_train_state(model_path, ts, last,
+                                     {"task": args.task_name,
+                                      "arch": args.model_arch},
+                                     backend=getattr(args, "ckpt_backend", "npz"))
+                if prog:
+                    prog.update(k)
+                if preempted["flag"]:
+                    save_train_state(model_path, ts, iters,
+                                     {"task": args.task_name,
+                                      "arch": args.model_arch,
+                                      "preempted": True},
+                                     backend=getattr(args, "ckpt_backend", "npz"))
+                    save_reference_layout(model_path, ts, iters)
+                    print(f"SIGTERM: 학습 상태 저장 후 종료 (iter {iters}) — "
+                          f"--resume {model_path} 로 재개")
+                    if old_handler is not None:
+                        signal.signal(signal.SIGTERM, old_handler)
+                    profiler.stop()
+                    return result_path, model_path
+            if not scan_failed:
                 if prog:
                     prog.close()
-                break
-            if any((iters + j) % args.log_interval == 0 for j in range(k)):
-                host = jax.device_get(losses)
-                for j in range(k):
-                    i = iters + j
-                    if i % args.log_interval != 0:
-                        continue
-                    vals = {key: float(host[key][j]) for key in host}
+                profiler.stop()
+                if is_main:
+                    save_reference_layout(model_path, ts, "final")
+                    save_train_state(model_path, ts, iters,
+                                     {"task": args.task_name,
+                                      "arch": args.model_arch},
+                                     backend=getattr(args, "ckpt_backend", "npz"))
+                    dt = time.time() - t_start
+                    if dt > 0 and iters > start_iters:
+                        print(f"Throughput: "
+                              f"{(iters - start_iters) * args.batch_size / dt:.1f} "
+                              f"images/sec")
+                    print(f"Training completed. Final models saved to {model_path}")
+                    print(f"Results and logs saved to {result_path}")
+                return result_path, model_path
+            # scan compile failed: continue into the per-step loop below.
+
+        for epoch in range(start_epoch, args.epochs):
+            # skip= jumps past the already-trained prefix by INDEX — resume
+            # does not decode/transfer the discarded batches (shuffles are
+            # fresh per epoch, so index-skipping loses nothing).
+            it = loader.epoch(skip=skip_batches)
+            steps_this_epoch = n_batches - skip_batches
+            skip_batches = 0
+            prog = tqdm(range(steps_this_epoch),
+                        desc=f"Epoch {epoch+1}/{args.epochs}") \
+                if tqdm else range(steps_this_epoch)
+            for _ in prog:
+                A, B = next(it)
+                A, B = to_global(A), to_global(B)
+                rate = jnp.float32(cfg.rate_for(iters))
+                if cfg.is_dis_iter(iters):
+                    # Lean D-step on non-logged iterations only: its recon
+                    # losses report 0, so logged lines must use the full graph
+                    # (routing predicate centralized in cfg.use_lean_dis).
+                    step = (lean_dis_step
+                            if lean_dis_step is not None
+                            and cfg.use_lean_dis(iters) else dis_step)
+                else:
+                    step = gen_step
+                profiler.tick(iters)
+                ts, losses = step(ts, A, B, rate)
+
+                if iters % args.log_interval == 0:
+                    vals = {k: float(v) for k, v in losses.items()}
                     if not all(np.isfinite(v) for v in vals.values()):
-                        print("경고: 손실에 NaN/Inf 감지 — --debug 로 첫 "
-                              "발생 지점을 추적할 수 있습니다")
+                        print("경고: 손실에 NaN/Inf 감지 — --debug 로 첫 발생 "
+                              "지점을 추적할 수 있습니다")
                     if logger is not None:
-                        logger.log(i, total_iterations, vals,
+                        logger.log(iters, total_iterations, vals,
                                    fm=not angle_variant)
-                    if prog:
+                    if tqdm:
                         prog.set_postfix({
                             "D_loss": f"{vals['dis_total']:.4f}",
-                            "G_loss": f"{vals['gen_total']:.4f}"})
-            iters += k
-            last = iters - 1
-            if last % args.image_save_interval == 0 and is_main:
-                new_states = dump_samples(last)
-                ts = dict(ts, model_states=new_states)
-            if last % args.model_save_interval == 0 and is_main:
-                hbm_sample(last)
-                save_reference_layout(model_path, ts, last)
-                save_train_state(model_path, ts, last,
-                                 {"task": args.task_name,
-                                  "arch": args.model_arch},
-                                 backend=getattr(args, "ckpt_backend", "npz"))
-            if prog:
-                prog.update(k)
-            if preempted["flag"]:
-                save_train_state(model_path, ts, iters,
-                                 {"task": args.task_name,
-                                  "arch": args.model_arch,
-                                  "preempted": True},
-                                 backend=getattr(args, "ckpt_backend", "npz"))
-                save_reference_layout(model_path, ts, iters)
-                print(f"SIGTERM: 학습 상태 저장 후 종료 (iter {iters}) — "
-                      f"--resume {model_path} 로 재개")
-                if old_handler is not None:
-                    signal.signal(signal.SIGTERM, old_handler)
-                profiler.stop()
-                return result_path, model_path
-        if not scan_failed:
-            if prog:
-                prog.close()
-            profiler.stop()
-            if is_main:
-                save_reference_layout(model_path, ts, "final")
-                save_train_state(model_path, ts, iters,
-                                 {"task": args.task_name,
-                                  "arch": args.model_arch},
-                                 backend=getattr(args, "ckpt_backend", "npz"))
-                dt = time.time() - t_start
-                if dt > 0 and iters > start_iters:
-                    print(f"Throughput: "
-                          f"{(iters - start_iters) * args.batch_size / dt:.1f} "
-                          f"images/sec")
-                print(f"Training completed. Final models saved to {model_path}")
-                print(f"Results and logs saved to {result_path}")
-            return result_path, model_path
-        # scan compile failed: continue into the per-step loop below.
+                            "G_loss": f"{vals['gen_total']:.4f}",
+                        })
+                if iters % args.image_save_interval == 0 and is_main:
+                    new_states = dump_samples(iters)
+                    if mesh is None:
+                        ts = dict(ts, model_states=new_states)
+                if iters % args.model_save_interval == 0 and is_main:
+                    hbm_sample(iters)
+                    view = single_view(ts)
+                    save_reference_layout(model_path, view, iters)
+                    save_train_state(model_path, view, iters,
+                                     {"task": args.task_name, "arch": args.model_arch},
+                                     backend=getattr(args, "ckpt_backend", "npz"))
+                iters += 1
+                if preempted["flag"]:
+                    view = single_view(ts)
+                    save_train_state(model_path, view, iters,
+                                     {"task": args.task_name,
+                                      "arch": args.model_arch,
+                                      "preempted": True},
+                                     backend=getattr(args, "ckpt_backend", "npz"))
+                    save_reference_layout(model_path, view, iters)
+                    print(f"SIGTERM: 학습 상태 저장 후 종료 (iter {iters}) — "
+                          f"--resume {model_path} 로 재개")
+                    if old_handler is not None:
+                        signal.signal(signal.SIGTERM, old_handler)
+                    profiler.stop()
+                    return result_path, model_path
 
-    for epoch in range(start_epoch, args.epochs):
-        # skip= jumps past the already-trained prefix by INDEX — resume
-        # does not decode/transfer the discarded batches (shuffles are
-        # fresh per epoch, so index-skipping loses nothing).
-        it = loader.epoch(skip=skip_batches)
-        steps_this_epoch = n_batches - skip_batches
-        skip_batches = 0
-        prog = tqdm(range(steps_this_epoch),
-                    desc=f"Epoch {epoch+1}/{args.epochs}") \
-            if tqdm else range(steps_this_epoch)
-        for _ in prog:
-            A, B = next(it)
-            A, B = to_global(A), to_global(B)
-            rate = jnp.float32(cfg.rate_for(iters))
-            if cfg.is_dis_iter(iters):
-                # Lean D-step on non-logged iterations only: its recon
-                # losses report 0, so logged lines must use the full graph
-                # (routing predicate centralized in cfg.use_lean_dis).
-                step = (lean_dis_step
-                        if lean_dis_step is not None
-                        and cfg.use_lean_dis(iters) else dis_step)
-            else:
-                step = gen_step
-            profiler.tick(iters)
-            ts, losses = step(ts, A, B, rate)
-
-            if iters % args.log_interval == 0:
-                vals = {k: float(v) for k, v in losses.items()}
-                if not all(np.isfinite(v) for v in vals.values()):
-                    print("경고: 손실에 NaN/Inf 감지 — --debug 로 첫 발생 "
-                          "지점을 추적할 수 있습니다")
-                if logger is not None:
-                    logger.log(iters, total_iterations, vals,
-                               fm=not angle_variant)
-                if tqdm:
-                    prog.set_postfix({
-                        "D_loss": f"{vals['dis_total']:.4f}",
-                        "G_loss": f"{vals['gen_total']:.4f}",
-                    })
-            if iters % args.image_save_interval == 0 and is_main:
-                new_states = dump_samples(iters)
-                if mesh is None:
-                    ts = dict(ts, model_states=new_states)
-            if iters % args.model_save_interval == 0 and is_main:
-                hbm_sample(iters)
-                view = single_view(ts)
-                save_reference_layout(model_path, view, iters)
-                save_train_state(model_path, view, iters,
-                                 {"task": args.task_name, "arch": args.model_arch},
-                                 backend=getattr(args, "ckpt_backend", "npz"))
-            iters += 1
-            if preempted["flag"]:
-                view = single_view(ts)
-                save_train_state(model_path, view, iters,
-                                 {"task": args.task_name,
-                                  "arch": args.model_arch,
-                                  "preempted": True},
-                                 backend=getattr(args, "ckpt_backend", "npz"))
-                save_reference_layout(model_path, view, iters)
-                print(f"SIGTERM: 학습 상태 저장 후 종료 (iter {iters}) — "
-                      f"--resume {model_path} 로 재개")
-                if old_handler is not None:
-                    signal.signal(signal.SIGTERM, old_handler)
-                profiler.stop()
-                return result_path, model_path
-
-    profiler.stop()
-    if is_main:
-        view = single_view(ts)
-        save_reference_layout(model_path, view, "final")
-        save_train_state(model_path, view, iters,
-                         {"task": args.task_name, "arch": args.model_arch},
-                         backend=getattr(args, "ckpt_backend", "npz"))
-        dt = time.time() - t_start
-        if dt > 0 and iters > start_iters:
-            print(f"Throughput: "
-                  f"{(iters - start_iters) * args.batch_size / dt:.1f} "
-                  f"images/sec")
-        print(f"Training completed. Final models saved to {model_path}")
-        print(f"Results and logs saved to {result_path}")
-    return result_path, model_path
+        profiler.stop()
+        if is_main:
+            view = single_view(ts)
+            save_reference_layout(model_path, view, "final")
+            save_train_state(model_path, view, iters,
+                             {"task": args.task_name, "arch": args.model_arch},
+                             backend=getattr(args, "ckpt_backend", "npz"))
+            dt = time.time() - t_start
+            if dt > 0 and iters > start_iters:
+                print(f"Throughput: "
+                      f"{(iters - start_iters) * args.batch_size / dt:.1f} "
+                      f"images/sec")
+            print(f"Training completed. Final models saved to {model_path}")
+            print(f"Results and logs saved to {result_path}")
+        return result_path, model_path
+    finally:
+        if old_handler is not None:
+            try:
+                signal.signal(signal.SIGTERM, old_handler)
+            except ValueError:
+                pass

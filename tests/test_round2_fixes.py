@@ -305,3 +305,59 @@ def test_cli_xla_copts_validation(tmp_path, monkeypatch):
         main(argv)
     # The flag reached the env knob before validation failed.
     assert os.environ["DISCOGAN_XLA_COPTS"] == "oops_no_value"
+
+
+# --------------------------------------------- review-hunt regressions
+
+def test_device_dataset_count_survives_corrupt_file(tmp_path):
+    """A corrupt JPEG must not shrink the HBM-resident dataset: the
+    random-image substitution (ref dataset.py:258-261) has to land at the
+    failed POSITION, keeping every index-driven consumer's shapes valid."""
+    from PIL import Image
+
+    from discogan_modernized_tpu.data.pipeline import PrefetchLoader
+
+    rng = np.random.RandomState(0)
+    paths = []
+    for j in range(6):
+        p = tmp_path / f"{j}.jpg"
+        Image.fromarray((rng.rand(32, 32, 3) * 255).astype(np.uint8)).save(p)
+        paths.append(str(p))
+    (tmp_path / "3.jpg").write_bytes(b"not a jpeg")  # corrupt one mid-list
+
+    loader = PrefetchLoader(paths, paths, batch_size=2, image_size=16,
+                            domain_A=None, domain_B=None)
+    if not loader.device_cache:
+        import pytest as _pytest
+
+        _pytest.skip("device cache disabled in this environment")
+    dev_A, dev_B = loader.device_data()
+    assert dev_A.shape[0] == len(paths), dev_A.shape
+    assert dev_B.shape[0] == len(paths), dev_B.shape
+    # The substituted sample is a valid image in [0, 1].
+    a3 = np.asarray(dev_A[3], np.float32)
+    assert np.isfinite(a3).all() and 0.0 <= a3.min() and a3.max() <= 1.0
+
+
+def test_decode_paths_keep_positions(tmp_path):
+    """keep_positions=True preserves per-path slots (None on failure);
+    the default stays compacted (ref read_images skip semantics)."""
+    from PIL import Image
+
+    from discogan_modernized_tpu.data.pipeline import PrefetchLoader
+
+    rng = np.random.RandomState(1)
+    paths = []
+    for j in range(3):
+        p = tmp_path / f"{j}.jpg"
+        Image.fromarray((rng.rand(32, 32, 3) * 255).astype(np.uint8)).save(p)
+        paths.append(str(p))
+    (tmp_path / "1.jpg").write_bytes(b"junk")
+
+    loader = PrefetchLoader(paths, paths, batch_size=1, image_size=16,
+                            domain_A=None, domain_B=None)
+    kept = loader._decode_paths(paths, None, None, keep_positions=True)
+    assert len(kept) == 3 and kept[1] is None
+    assert kept[0] is not None and kept[2] is not None
+    compact = loader._decode_paths(paths, None, None)
+    assert compact.shape[0] == 2
