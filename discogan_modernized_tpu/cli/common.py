@@ -34,11 +34,31 @@ def parse_with_config(parser: argparse.ArgumentParser, argv=None):
 
         with open(known.config) as f:
             conf = yaml.safe_load(f) or {}
-        valid = {a.dest for a in parser._actions}
-        unknown = set(conf) - valid
+        actions = {a.dest: a for a in parser._actions}
+        unknown = set(conf) - set(actions)
         if unknown:
             raise SystemExit(f"unknown config keys: {sorted(unknown)}")
-        parser.set_defaults(**conf)
+        # set_defaults alone would skip argparse's `type` conversion and
+        # `choices` validation (they only apply to command-line strings),
+        # letting a typo like `precision: f64` flow silently downstream —
+        # apply both here so config values get exactly the CLI checks.
+        checked = {}
+        for key, val in conf.items():
+            a = actions[key]
+            if a.type is not None and isinstance(val, str):
+                try:
+                    val = a.type(val)
+                except (TypeError, ValueError):
+                    raise SystemExit(
+                        f"config key {key!r}: invalid value {val!r} "
+                        f"(expected {getattr(a.type, '__name__', a.type)})")
+            if a.choices is not None and val is not None \
+                    and val not in a.choices:
+                raise SystemExit(
+                    f"config key {key!r}: invalid choice {val!r} "
+                    f"(choose from {sorted(map(str, a.choices))})")
+            checked[key] = val
+        parser.set_defaults(**checked)
     return parser.parse_args(argv)
 
 
@@ -273,6 +293,12 @@ def inference_parser() -> argparse.ArgumentParser:
                         'Generator\'s extra_layers branches are functionally '
                         'identical (model.py:77-212), so this is accepted '
                         'and ignored')
+    p.add_argument('--precision', type=str, default=None,
+                   choices=['bf16', 'f32'],
+                   help='(extension) compute precision; default auto '
+                        '(bf16 on TPU). Use f32 to reproduce reference '
+                        'outputs at the fidelity-gate level when comparing '
+                        'against torch checkpoints.')
     p.add_argument('--dataset_type', type=str, default=None,
                    choices=['edges2handbags', 'edges2shoes', 'handbags2shoes',
                             'celebA', None],

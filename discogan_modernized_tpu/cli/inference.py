@@ -83,7 +83,7 @@ def main(argv=None):
     if rev_path.exists():
         rev = load_reference_weights(rev_path, rev_name, args.image_size)
 
-    policy = default_policy()
+    policy = default_policy(getattr(args, 'precision', None))
 
     @jax.jit
     def translate(params, state, x):
@@ -150,4 +150,6 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    sys.exit(main())

@@ -124,7 +124,6 @@ def generator_apply(params, state, x, *, policy: Policy = F32, training: bool = 
     h = checkpoint_name(h, "gen_latent")
 
     new_dec_state = []
-    n_dec = len(params["decoder"])
     for i, layer in enumerate(params["decoder"]):
         stride = 1 if i == 0 else 2
         padding = 0 if i == 0 else 1

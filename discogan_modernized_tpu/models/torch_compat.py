@@ -64,7 +64,7 @@ def _bn_from_sd(sd, prefix):
         "mean": jnp.asarray(np.asarray(sd[f"{prefix}.running_mean"], np.float32)),
         "var": jnp.asarray(np.asarray(sd[f"{prefix}.running_var"], np.float32)),
         "count": jnp.asarray(
-            int(np.asarray(sd.get(f"{prefix}.num_batches_tracked", 0)).ravel()[0])
+            int(np.asarray(sd[f"{prefix}.num_batches_tracked"]).ravel()[0])
             if f"{prefix}.num_batches_tracked" in sd else 0,
             jnp.int32,
         ),

@@ -30,11 +30,8 @@ CPU + compiled on the real chip via bench/kernel tools).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -75,6 +72,9 @@ def conv2d_k4s2p1(x, w, *, scale=None, offset=None, act: str | None = None,
     """
     n, h, wd, in_ch = x.shape
     assert w.shape[:3] == (4, 4, in_ch), (x.shape, w.shape)
+    assert h % 2 == 0 and wd % 2 == 0, (
+        f"conv2d_k4s2p1 requires even spatial dims (column-parity split), "
+        f"got {h}x{wd}")
     out_ch = w.shape[-1]
     ho, wo = h // 2, wd // 2
     dtype = x.dtype

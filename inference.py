@@ -3,4 +3,6 @@
 from discogan_modernized_tpu.cli.inference import main
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    sys.exit(main())

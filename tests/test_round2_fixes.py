@@ -361,3 +361,44 @@ def test_decode_paths_keep_positions(tmp_path):
     assert kept[0] is not None and kept[2] is not None
     compact = loader._decode_paths(paths, None, None)
     assert compact.shape[0] == 2
+
+
+def test_config_values_get_argparse_validation(tmp_path):
+    """YAML --config values must pass the same type/choices checks as CLI
+    strings (set_defaults alone skips both)."""
+    import yaml
+
+    from discogan_modernized_tpu.cli.common import (
+        parse_with_config, translation_parser)
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text(yaml.safe_dump({"task_name": "synthetic",
+                                   "precision": "f64"}))
+    with pytest.raises(SystemExit, match="precision"):
+        parse_with_config(translation_parser(), [f"--config={bad}"])
+
+    typed = tmp_path / "typed.yaml"
+    typed.write_text(yaml.safe_dump({"task_name": "synthetic",
+                                     "image_size": "256",
+                                     "slim_state": "mv"}))
+    args = parse_with_config(translation_parser(), [f"--config={typed}"])
+    assert args.image_size == 256 and isinstance(args.image_size, int)
+    assert args.slim_state == "mv"
+
+
+def test_inference_exit_code_and_precision_flag(tmp_path):
+    """inference.py must exit nonzero on a load failure and expose
+    --precision (f32 reproduces reference outputs at the fidelity level)."""
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    r = subprocess.run(
+        [_sys.executable, str(repo / "inference.py"),
+         f"--model_path={tmp_path}/missing", f"--input_path={tmp_path}",
+         "--device=cpu", "--precision=f32",
+         f"--output_dir={tmp_path}/out"],
+        capture_output=True, text=True, timeout=240,
+        env={**os.environ, "DISCOGAN_FORCE_CPU": "1"})
+    assert r.returncode != 0, (r.stdout, r.stderr)
