@@ -53,6 +53,13 @@ def default_policy(precision: str | None = None) -> Policy:
         return F32
     if precision == "bf16" or precision == "bfloat16":
         return BF16
+    if precision is not None:
+        # A typo ("fp32", "f64") must not silently fall through to auto —
+        # a profile recorded as f32 but measured in bf16 poisons every
+        # number derived from it. CLI parsers restrict choices already;
+        # this guards library/tool callers.
+        raise ValueError(
+            f"unknown precision {precision!r} (expected bf16|f32|None)")
     try:
         platform = jax.default_backend()
     except Exception:  # pragma: no cover - no backend at all

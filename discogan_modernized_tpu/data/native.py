@@ -62,16 +62,25 @@ def _build() -> Path:
 
 
 def load():
-    """Load (building if needed) the native library. Raises on failure."""
+    """Load (building if needed) the native library. Raises on failure.
+    Failures are cached: without a compiler (or with a corrupt .so) the
+    per-image fallback path must not re-attempt the build for every
+    sample of every epoch."""
     global _lib
+    if _lib is False:
+        raise RuntimeError("native build previously failed this process")
     if _lib is None:
-        lib = ctypes.CDLL(str(_build()))
-        f32p = ctypes.POINTER(ctypes.c_float)
-        u8p = ctypes.POINTER(ctypes.c_uint8)
-        lib.erode3x3_f32.argtypes = [f32p, f32p] + [ctypes.c_int] * 3
-        lib.dilate3x3_f32.argtypes = [f32p, f32p] + [ctypes.c_int] * 3
-        lib.resize_bilinear_f32.argtypes = [f32p, f32p] + [ctypes.c_int] * 5
-        lib.preprocess_u8.argtypes = [u8p] + [ctypes.c_int] * 5 + [f32p]
+        try:
+            lib = ctypes.CDLL(str(_build()))
+            f32p = ctypes.POINTER(ctypes.c_float)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            lib.erode3x3_f32.argtypes = [f32p, f32p] + [ctypes.c_int] * 3
+            lib.dilate3x3_f32.argtypes = [f32p, f32p] + [ctypes.c_int] * 3
+            lib.resize_bilinear_f32.argtypes = [f32p, f32p] + [ctypes.c_int] * 5
+            lib.preprocess_u8.argtypes = [u8p] + [ctypes.c_int] * 5 + [f32p]
+        except Exception as e:
+            _lib = False
+            raise RuntimeError(f"native build/load failed: {e}") from e
         _lib = lib
     return _lib
 
@@ -116,6 +125,12 @@ def preprocess(image_u8: np.ndarray, domain, size: int) -> np.ndarray:
     """Fused crop/edge/resize/normalize for one uint8 HWC image."""
     image_u8 = np.ascontiguousarray(image_u8, np.uint8)
     h, w, c = image_u8.shape
+    if _DOMAIN_CODES[domain] == 2 and w <= 256:
+        # B-domain right crop of a <=256px-wide image is empty; the cv2
+        # path raises here too (cv2.resize of a 0-width array) — raising
+        # keeps decode_image's skip/substitute error handling identical
+        # instead of reading out of bounds in the C++ fast path.
+        raise ValueError(f"domain 'B' crop is empty for width {w} <= 256")
     out = np.empty((size, size, c), np.float32)
     load().preprocess_u8(
         image_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

@@ -208,6 +208,14 @@ void preprocess_u8(const uint8_t* in, int h, int w, int c, int domain,
     if (domain == 1) { cw = std::min(256, w); }
     if (domain == 2) { x_off = std::min(256, w); cw = w - x_off; }
 
+    // Degenerate crop (e.g. domain 'B' on a <=256px-wide image): the
+    // Python wrapper raises before calling, but the raw C API must not
+    // read out of bounds — zero-fill and return.
+    if (cw <= 0 || h <= 0 || size <= 0) {
+        std::fill(out, out + static_cast<size_t>(size) * size * c, 0.0f);
+        return;
+    }
+
     std::vector<float> buf(static_cast<size_t>(h) * cw * c);
     const int crc = cw * c;
     for (int y = 0; y < h; ++y) {

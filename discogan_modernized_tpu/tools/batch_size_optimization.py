@@ -46,8 +46,12 @@ def _memory_utilization(device) -> float | None:
     try:
         stats = device.memory_stats()
         if stats and stats.get("bytes_limit"):
-            return stats.get("peak_bytes_in_use", stats.get("bytes_in_use", 0)) \
-                / stats["bytes_limit"]
+            # bytes_in_use, NOT peak_bytes_in_use: the peak is a
+            # process-lifetime high-water mark, so after one over-target
+            # candidate every smaller candidate would re-read the old
+            # peak and be rejected — the binary search's refinement
+            # phase would reject everything below the first failure.
+            return stats.get("bytes_in_use", 0) / stats["bytes_limit"]
     except Exception:
         pass
     return None

@@ -60,8 +60,12 @@ def time_layer(batch, in_size, cin, cout, stride, padding, bn, *,
     key = jax.random.PRNGKey(0)
     w = conv_init(key, cin, cout, 4)
     bn_params, bn_state = batchnorm_init(cout) if bn else (None, None)
+    # Carry the chain in the COMPUTE dtype: an f32 carry would double the
+    # conv's input HBM bytes vs the bpe-based roofline model (and vs the
+    # production network, whose activations are bf16) — bandwidth-bound
+    # layers would read up to ~2x slower than modeled.
     x = jnp.asarray(np.random.RandomState(0).rand(batch, in_size, in_size, cin),
-                    jnp.float32)
+                    policy.compute_dtype)
 
     def one(x):
         h = conv2d(x.astype(policy.compute_dtype), w, stride=stride,

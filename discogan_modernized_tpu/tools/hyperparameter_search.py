@@ -180,13 +180,22 @@ def check_early_stop(log_file: Path, state: dict, patience: int) -> bool:
     matches = RECON_RE.findall(log_file.read_text())
     if not matches:
         return False
-    a, b = matches[-1]
-    avg = (float(a) + float(b)) / 2
-    if avg < state.get("best", float("inf")):
-        state["best"] = avg
-        state["no_improvement"] = 0
-    else:
-        state["no_improvement"] = state.get("no_improvement", 0) + 1
+    # Only judge NEW log lines since the last poll: a slow log cadence
+    # (512px trials) or block-buffered stdout would otherwise re-count
+    # the same stale line every poll and kill a healthy trial once
+    # patience*poll_interval < the flush interval. Every new line is an
+    # observation (a fast-logging trial may emit several per poll).
+    new = matches[state.get("n_seen", 0):]
+    if not new:
+        return False
+    state["n_seen"] = len(matches)
+    for a, b in new:
+        avg = (float(a) + float(b)) / 2
+        if avg < state.get("best", float("inf")):
+            state["best"] = avg
+            state["no_improvement"] = 0
+        else:
+            state["no_improvement"] = state.get("no_improvement", 0) + 1
     return state["no_improvement"] >= patience
 
 

@@ -37,7 +37,12 @@ def bench(step_fn, x, iters=3):
             return step_fn(h), None
 
         out, _ = lax.scan(body, x, None, length=CHAIN)
-        return out
+        # Reduce on-device: the sync fetch must be a chain-dependent
+        # SCALAR — pulling the whole output through the tunnel costs
+        # ~100ms/MB (CLAUDE.md) and would dwarf the kernels under test.
+        import jax.numpy as jnp
+
+        return jnp.sum(out.astype(jnp.float32))
 
     _sync(chained(x))  # compile + warm
     best = float("inf")

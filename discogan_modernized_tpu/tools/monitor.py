@@ -350,7 +350,13 @@ class Monitor:
                     continue
                 argv = job.get("argv") or job["cmdline"].split()
                 cwd = job.get("cwd")
-                key = "\0".join(argv)
+                # Budget key must survive our own relaunch mutations: the
+                # first auto-restart appends --resume=<dir>, and keying
+                # on the raw argv would reset the count to 0 each crash —
+                # a crash-looping job would get MAX_RESTARTS per restart
+                # instead of MAX_RESTARTS total.
+                key = "\0".join(a for a in argv
+                                 if not a.startswith("--resume"))
                 n = self.restart_counts.get(key, 0)
                 if n >= MAX_RESTARTS:
                     self.log(f"재시작 한도 초과 (>{MAX_RESTARTS}): "
@@ -407,8 +413,13 @@ def interactive_menu(monitor: Monitor):
                 print(f"  PID {j['pid']}: {j['task_name']} — {j['cmdline'][:70]}")
             pid = input("종료할 PID: ").strip()
             if pid.isdigit():
-                os.kill(int(pid), 15)
-                print(f"PID {pid} 종료 요청됨")
+                try:
+                    os.kill(int(pid), 15)
+                    print(f"PID {pid} 종료 요청됨")
+                except (ProcessLookupError, PermissionError) as e:
+                    # A stale/foreign PID must not take down the monitor
+                    # (and its auto-restart supervision) with it.
+                    print(f"PID {pid} 종료 실패: {e}")
         elif choice == "3":
             task = input("task_name: ").strip() or "edges2shoes"
             arch = input("model_arch [discogan]: ").strip() or "discogan"

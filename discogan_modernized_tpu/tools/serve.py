@@ -50,6 +50,16 @@ class Translator:
     def __init__(self, model_path, direction, image_size, precision=None):
         import jax
 
+        # Persistent compile cache: a daemon restart must not pay the
+        # full multi-minute remote compile again during warmup.
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              "/root/.cache/jax_comp")
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.0)
+        except Exception:
+            pass
+
         from ..core.precision import default_policy
         from ..models.generator import generator_apply
         from ..train.checkpoint import load_reference_weights

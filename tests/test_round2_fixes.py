@@ -164,7 +164,11 @@ def test_hp_search_early_stops_any_concurrent_trial(tmp_path, monkeypatch):
         rdir.mkdir()
         log = rdir / "train.log"
         if trial_id == 1:
-            log.write_text("RECON: 0.5000/0.5000\n")
+            # TWO stagnant lines: check_early_stop only consumes patience
+            # on NEW log lines (stale polls are ignored — see
+            # test_early_stop_ignores_stale_polls), so the non-improving
+            # second observation is what triggers termination.
+            log.write_text("RECON: 0.5000/0.5000\nRECON: 0.5000/0.5000\n")
         else:
             log.write_text("no recon lines here\n")
         logs[trial_id] = log
@@ -301,10 +305,15 @@ def test_cli_xla_copts_validation(tmp_path, monkeypatch):
         f"--models_dir={tmp_path}/models",
         "--xla_copts=oops_no_value",
     ]
-    with _pytest.raises(ValueError, match="key=value"):
-        main(argv)
-    # The flag reached the env knob before validation failed.
-    assert os.environ["DISCOGAN_XLA_COPTS"] == "oops_no_value"
+    try:
+        with _pytest.raises(ValueError, match="key=value"):
+            main(argv)
+        # The flag reached the env knob before validation failed.
+        assert os.environ["DISCOGAN_XLA_COPTS"] == "oops_no_value"
+    finally:
+        # delenv(raising=False) on an UNSET var registers no undo, so the
+        # value main() wrote would leak into later tests' subprocesses.
+        os.environ.pop("DISCOGAN_XLA_COPTS", None)
 
 
 # --------------------------------------------- review-hunt regressions
@@ -402,3 +411,39 @@ def test_inference_exit_code_and_precision_flag(tmp_path):
         capture_output=True, text=True, timeout=240,
         env={**os.environ, "DISCOGAN_FORCE_CPU": "1"})
     assert r.returncode != 0, (r.stdout, r.stderr)
+
+
+def test_early_stop_ignores_stale_polls(tmp_path):
+    """Polling an unchanged log must not consume patience: slow log
+    cadence (512px) or block-buffered stdout would otherwise kill a
+    healthy improving trial."""
+    from discogan_modernized_tpu.tools.hyperparameter_search import (
+        check_early_stop)
+
+    log = tmp_path / "train.log"
+    log.write_text("Iter [0/100] GEN: 1.0/1.0, FM: 0.1/0.1, "
+                   "RECON: 0.5000/0.5000, DIS: 0.7/0.7\n")
+    state: dict = {}
+    assert not check_early_stop(log, state, patience=2)
+    # Same content polled many times: no patience consumed.
+    for _ in range(10):
+        assert not check_early_stop(log, state, patience=2)
+    # Two genuinely new non-improving lines -> terminate.
+    for i, v in enumerate(("0.6000", "0.7000")):
+        log.write_text(log.read_text() +
+                       f"Iter [{i+1}/100] GEN: 1.0/1.0, FM: 0.1/0.1, "
+                       f"RECON: {v}/{v}, DIS: 0.7/0.7\n")
+        stop = check_early_stop(log, state, patience=2)
+    assert stop
+
+
+def test_native_domain_b_narrow_image_raises():
+    """B-domain right crop of a <=256px-wide image is empty; the native
+    fast path must raise like the cv2 path, not read out of bounds."""
+    from discogan_modernized_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    img = np.zeros((64, 200, 3), np.uint8)
+    with pytest.raises(ValueError, match="domain 'B'"):
+        native.preprocess(img, "B", 16)
