@@ -306,6 +306,10 @@ def measure_train_with_decode(image_size: int, batch: int,
         multi = make_scan_train_step(cfg, steps=k)
         loader = PrefetchLoader(files, files, batch, image_size,
                                 domain_A="A", domain_B="B")
+        if not loader.device_cache:
+            raise RuntimeError("decode bench needs the HBM-resident "
+                               "dataset (check DISCOGAN_DEVICE_CACHE"
+                               "/BUDGET)")
         n_epoch = loader.n_batches
 
         # Compile the scan program on synthetic device data first so the
@@ -578,10 +582,13 @@ def _install_watchdog(a100_est: float):
         return None
 
     def fire():
+        import sys
+
         v = _BEST_PRIMARY["value"]
         if v is None:
+            # stderr: stdout is reserved for the ONE JSON line contract.
             print("# bench watchdog: deadline hit with no completed "
-                  "measurement (backend stall?)", flush=True)
+                  "measurement (backend stall?)", file=sys.stderr, flush=True)
             os._exit(2)
         out = {
             "metric": "train_images_per_sec_per_chip_discogan_64px_b64",
@@ -743,8 +750,8 @@ def main(full: bool = False):
             "unit": "images/sec/chip",
             "note": "cold = every sample pays JPEG decode + reference "
                     "preprocessing (the reference's every-epoch cost); "
-                    "warm = epochs >= 1 served by the decoded-sample cache "
-                    "(data/cache.py), overlapped via the prefetch pipeline",
+                    "warm = epochs >= 1 served by the HBM-resident decoded "
+                    "dataset (the disk cache serves restarts/re-runs)",
         }
         dec512 = measure_train_with_decode_512(32, slim_state="all")
         detail["train_512px_b32_with_real_decode"] = {

@@ -118,7 +118,10 @@ def main(argv=None):
             reconstructed = translate(rev[0], rev[1], generated)
         gen_np = np.asarray(generated)
         rec_np = np.asarray(reconstructed) if reconstructed is not None else None
-        dt = (time.perf_counter() - t0) / len(pending)
+        # Per-image latency = batch time / rows COMPUTED (incl. padding):
+        # attributing a padded batch to fewer real images would inflate
+        # the reported p50 by up to batch_n x on the final partial chunk.
+        dt = (time.perf_counter() - t0) / x.shape[0]
         # The first flush pays jit compilation; exclude it from the latency
         # metric so p50 reflects steady state.
         if flush.count > 0:

@@ -58,7 +58,7 @@ def _memory_utilization(device) -> float | None:
 
 
 def test_batch_size(batch_size: int, image_size: int, *, train_step: bool = False,
-                    device_id: int = 0):
+                    device_id: int = 0, model_arch: str = "discogan"):
     """Try one candidate. Returns (ok, mem_utilization|None)."""
     import jax
     import jax.numpy as jnp
@@ -74,7 +74,10 @@ def test_batch_size(batch_size: int, image_size: int, *, train_step: bool = Fals
             f"--device {device_id} 범위 밖: 사용 가능한 디바이스 "
             f"{len(devices)}개 (0..{len(devices) - 1})")
     device = devices[device_id]
-    cfg = TrainConfig(image_size=image_size)
+    # model_arch changes what the probe allocates (the gan arch trains
+    # only the gen_B/dis_B subset — ~half the Adam/master state) — the
+    # recommendation must measure the graph it is labeled with.
+    cfg = TrainConfig(image_size=image_size, model_arch=model_arch)
     rng = np.random.RandomState(0)
     A = jax.device_put(
         jnp.asarray(rng.rand(batch_size, image_size, image_size, 3), jnp.float32),
@@ -122,7 +125,8 @@ def find_optimal_batch_size(args) -> dict:
             continue
         print(f"배치 크기 {bs} 테스트 중...")
         ok, util = test_batch_size(bs, args.image_size, train_step=args.train_step,
-                                   device_id=args.device)
+                                   device_id=args.device,
+                                   model_arch=args.model_arch)
         over_target = util is not None and util > args.target_memory
         history.append({"batch_size": bs, "ok": bool(ok),
                         "memory_utilization": util})

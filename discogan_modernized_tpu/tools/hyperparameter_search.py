@@ -208,14 +208,25 @@ def _terminate(process):
         process.wait()
 
 
-def _finalize_trial(process, result_dir, trial_info):
-    trial_info["status"] = "completed"
+def _finalize_trial(process, result_dir, trial_info, early_stopped=False):
+    # Status must reflect what actually happened: a crashed trainer
+    # (nonzero returncode) may have logged a few flattering RECON lines
+    # and must not compete in the ranking as if it finished training;
+    # an early-stopped trial DID converge on its (poor) plateau and its
+    # metric is informative, so it stays rankable under its own label.
+    if early_stopped:
+        trial_info["status"] = "early_stopped"
+    elif process.returncode == 0:
+        trial_info["status"] = "completed"
+    else:
+        trial_info["status"] = "failed"
     trial_info["end_time"] = datetime.now().strftime("%Y%m%d_%H%M%S")
     trial_info["duration"] = time.time() - trial_info["start_timestamp"]
     trial_info["returncode"] = process.returncode
     with open(result_dir / "trial_info.json", "w") as f:
         json.dump(trial_info, f, indent=2)
-    print(f"완료: 실험 {trial_info['trial_id']}, 슬롯 {trial_info['slot_id']}")
+    print(f"완료: 실험 {trial_info['trial_id']}, 슬롯 {trial_info['slot_id']}"
+          f" ({trial_info['status']})")
     return extract_metrics(Path(trial_info["log_file"]))
 
 
@@ -225,15 +236,18 @@ def monitor_process(process, result_dir, trial_info, args):
     single-trial API; main() polls ALL concurrent trials per cycle."""
     log_file = Path(trial_info["log_file"])
     es_state: dict = {}
+    early_stopped = False
     while process.poll() is None:
         time.sleep(args.poll_interval)
         if args.early_stopping and check_early_stop(log_file, es_state, args.patience):
             print(f"조기 종료: 실험 {trial_info['trial_id']}, "
                   f"{args.patience}회 이상 성능 개선 없음")
             _terminate(process)
+            early_stopped = True
             break
     process.wait()
-    return _finalize_trial(process, result_dir, trial_info)
+    return _finalize_trial(process, result_dir, trial_info,
+                           early_stopped=early_stopped)
 
 
 def extract_metrics(log_file: Path) -> dict:
@@ -291,7 +305,8 @@ def analyze_results(output_dir, task_name, model_arch):
         except Exception as e:  # noqa: BLE001
             print(f"실험 {trial_dir} 데이터 로드 오류: {e}")
 
-    completed = [t for t in all_trials if t["status"] == "completed"
+    completed = [t for t in all_trials
+                 if t["status"] in ("completed", "early_stopped")
                  and t["metrics"].get("avg_recon_loss") is not None]
     ranked = sorted(completed, key=lambda t: t["metrics"]["avg_recon_loss"])
 
@@ -352,12 +367,14 @@ def main(argv=None):
                     print(f"조기 종료: 실험 {t['info']['trial_id']}, "
                           f"{args.patience}회 이상 성능 개선 없음")
                     _terminate(t["proc"])
+                    t["early_stopped"] = True
                 else:
                     still.append(t)
                     continue
             t["proc"].wait()
             metrics_by_trial[t["info"]["trial_id"]] = _finalize_trial(
-                t["proc"], t["rdir"], t["info"])
+                t["proc"], t["rdir"], t["info"],
+                early_stopped=t.get("early_stopped", False))
             free_slots.append(t["slot"])
         free_slots.sort()
         running = still

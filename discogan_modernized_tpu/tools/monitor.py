@@ -305,7 +305,10 @@ class Monitor:
                 job["hbm"] = hbm
         self.update_job_progress(snap["jobs"])
         self.history.append(snap)
-        self.json_log.write_text(json.dumps(self.history[-500:], indent=2))
+        # Cap in memory too: a long-lived daemon (~8.6k snapshots/day at
+        # the 10s default) must not grow without bound.
+        del self.history[:-500]
+        self.json_log.write_text(json.dumps(self.history, indent=2))
 
         for d in snap["devices"]:
             util = d.get("utilization")

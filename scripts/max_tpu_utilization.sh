@@ -9,7 +9,9 @@
 set -u
 
 echo "===== TPU 활용 도우미 ====="
-N_DEV=$(python - <<'EOF'
+# timeout: a wedged backend tunnel hangs jax.device_count() in C where
+# even Ctrl-C cannot interrupt it (CLAUDE.md probe-first discipline).
+N_DEV=$(timeout 120 python - <<'EOF'
 try:
     import jax
     print(jax.device_count())
@@ -17,6 +19,10 @@ except Exception:
     print(0)
 EOF
 )
+N_DEV="${N_DEV:-0}"
+if [ "$N_DEV" = "0" ]; then
+    echo "경고: 디바이스 확인 실패/시간 초과 — 백엔드 터널 상태를 확인하세요"
+fi
 echo "사용 가능한 디바이스: $N_DEV"
 
 echo "1. 단일 작업 (모든 디바이스, 데이터 병렬)"

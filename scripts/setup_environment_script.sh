@@ -2,9 +2,10 @@
 # Environment setup + verification (ref setup_environment_script.sh).
 #
 # The reference creates a conda env and installs PyTorch/CUDA by nvcc
-# probe. The TPU framework's dependencies (jax, flax, optax, numpy, PIL,
-# cv2, matplotlib, pandas, tqdm) ship with standard TPU images; this
-# script verifies the stack and the accelerator instead of installing.
+# probe. The TPU framework's dependencies (jax, numpy, PIL, cv2,
+# matplotlib, pandas, pyyaml, tqdm — no flax/optax: models and Adam are
+# hand-rolled) ship with standard TPU images; this script verifies the
+# stack and the accelerator instead of installing.
 
 set -u
 
@@ -15,7 +16,8 @@ import sys
 
 print(f"Python: {sys.version.split()[0]}")
 ok = True
-for mod in ("jax", "numpy", "PIL", "matplotlib", "pandas", "tqdm"):
+for mod in ("jax", "numpy", "PIL", "matplotlib", "pandas", "tqdm",
+            "yaml"):  # yaml: the --config flag (cli/common.py)
     try:
         m = __import__(mod)
         print(f"  {mod}: {getattr(m, '__version__', 'ok')}")
@@ -30,6 +32,19 @@ for mod in ("cv2", "torch"):
         print(f"  {mod} (선택): 없음 — 대체 구현 사용")
 
 try:
+    import threading
+
+    # A wedged backend tunnel blocks jax.devices() in C (signal handlers
+    # never fire — CLAUDE.md); only a watchdog thread + os._exit escapes.
+    def _deadline():
+        import os
+
+        print("가속기 확인 시간 초과 — 백엔드 터널 상태를 확인하세요")
+        os._exit(1)
+
+    t = threading.Timer(120.0, _deadline)
+    t.daemon = True
+    t.start()
     import jax
 
     devs = jax.devices()
@@ -39,6 +54,7 @@ try:
     x = jnp.ones((256, 256))
     y = (x @ x).block_until_ready()
     print(f"연산 확인: 256x256 matmul OK (sum={float(y.sum()):.0f})")
+    t.cancel()
 except Exception as e:
     ok = False
     print(f"가속기 확인 실패: {e}")

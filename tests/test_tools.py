@@ -80,7 +80,8 @@ def test_batch_probe_bisection(monkeypatch, tmp_path):
 
     monkeypatch.setattr(
         bso, "test_batch_size",
-        lambda bs, size, train_step=False, device_id=0:
+        lambda bs, size, train_step=False, device_id=0,
+        model_arch="discogan":
             (bs <= 96, 0.5 if bs <= 96 else None))
     args = bso.parse_args([
         "--min_batch=16", "--max_batch=512", "--step=16",
