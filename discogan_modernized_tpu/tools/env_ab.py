@@ -102,9 +102,17 @@ def main():
     orig = os.environ.get(args.var) if args.var else None
 
     def copts(v):
+        # Layer the swept option over the DISCOGAN_XLA_COPTS base so a
+        # sweep can stack on an adopted option (e.g. flip rwb_fusion while
+        # keeping the measured scoped-vmem win); "default" means base-only.
+        # Passing None (not {}) keeps make_*'s own env fallback in charge.
         if args.copt is None or v == "default":
             return None
-        return {args.copt: v}
+        from ..train.step import env_compiler_options
+
+        base = env_compiler_options() or {}
+        base[args.copt] = v
+        return base
 
     fns, states = {}, {}
     for v in values:
