@@ -14,6 +14,12 @@ stdlib-only (ThreadingHTTPServer); device calls serialize behind a lock
 
     python -m discogan_modernized_tpu.tools.serve \
         --model_path models/edges2shoes/discogan/<ts> --direction AtoB
+
+or serve a jax.export StableHLO artifact (tools/export_model.py) with no
+model code or checkpoint on this host:
+
+    python -m discogan_modernized_tpu.tools.serve \
+        --exported gen_B_final.stablehlo [--exported_rev gen_A_final.stablehlo]
 """
 
 from __future__ import annotations
@@ -31,7 +37,15 @@ import numpy as np
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="DiscoGAN 서빙 데몬")
-    p.add_argument("--model_path", type=str, required=True)
+    p.add_argument("--model_path", type=str, default=None,
+                   help="checkpoint dir (omit when serving --exported "
+                        "artifacts)")
+    p.add_argument("--exported", type=str, default=None,
+                   help="serve a jax.export StableHLO artifact "
+                        "(tools/export_model.py) instead of a checkpoint — "
+                        "no model code or .pth needed on this host")
+    p.add_argument("--exported_rev", type=str, default=None,
+                   help="reverse-generator artifact for /reconstruct")
     p.add_argument("--direction", type=str, default="AtoB",
                    choices=["AtoB", "BtoA"])
     p.add_argument("--image_size", type=int, default=64)
@@ -117,7 +131,59 @@ class Translator:
                 "p50_ms": pct(0.5), "p99_ms": pct(0.99)}
 
 
-def make_handler(translator: Translator, args):
+class ExportedTranslator:
+    """StableHLO serving artifact (tools/export_model.py); thread-safe.
+
+    The artifact carries the compiled computation AND the weights, so this
+    host needs neither the model code nor a checkpoint. Accepts batch-1
+    static or symbolic-batch artifacts (the daemon serves one image per
+    request)."""
+
+    def __init__(self, exported_path, image_size, exported_rev=None):
+        from .export_model import load_exported
+
+        self.image_size = image_size
+        self._fwd = load_exported(exported_path)
+        aval = self._fwd.in_avals[0]
+        if tuple(aval.shape[1:]) != (image_size, image_size, 3):
+            raise ValueError(
+                f"artifact expects input {tuple(aval.shape)}, which does "
+                f"not match --image_size={image_size}")
+        b = aval.shape[0]
+        if isinstance(b, int) and b != 1:
+            raise ValueError(
+                f"artifact was exported with static batch {b}; the daemon "
+                "serves one image per request — re-export with --batch 1 "
+                "or --batch 0 (symbolic)")
+        self._rev = load_exported(exported_rev) if exported_rev else None
+        self._lock = threading.Lock()
+        self.latencies: list = []
+        self.count = 0
+        dummy = np.zeros((1, image_size, image_size, 3), np.float32)
+        np.asarray(self._fwd.call(dummy))
+        if self._rev is not None:
+            np.asarray(self._rev.call(dummy))
+
+    def translate(self, img: np.ndarray, reconstruct: bool = False) -> np.ndarray:
+        x = np.asarray(img, np.float32)[None]
+        with self._lock:
+            t0 = time.perf_counter()
+            y = self._fwd.call(x)
+            if reconstruct:
+                if self._rev is None:
+                    raise RuntimeError(
+                        "no reverse artifact (--exported_rev) loaded")
+                y = self._rev.call(np.asarray(y))
+            out = np.asarray(y)[0]
+            self.latencies.append(time.perf_counter() - t0)
+            self.latencies = self.latencies[-1000:]
+            self.count += 1
+        return out
+
+    stats = Translator.stats
+
+
+def make_handler(translator, args):
     from PIL import Image
 
     from ..data.preprocess import preprocess_array
@@ -138,7 +204,9 @@ def make_handler(translator: Translator, args):
             if self.path == "/healthz":
                 self._json(200, {"status": "ok",
                                  "direction": args.direction,
-                                 "image_size": args.image_size})
+                                 "image_size": args.image_size,
+                                 "exported": bool(getattr(args, "exported",
+                                                          None))})
             elif self.path == "/stats":
                 self._json(200, translator.stats())
             else:
@@ -176,8 +244,14 @@ def make_handler(translator: Translator, args):
 
 
 def serve(args):
-    translator = Translator(args.model_path, args.direction, args.image_size,
-                            args.precision)
+    if args.exported:
+        translator = ExportedTranslator(args.exported, args.image_size,
+                                        args.exported_rev)
+    elif args.model_path:
+        translator = Translator(args.model_path, args.direction,
+                                args.image_size, args.precision)
+    else:
+        raise SystemExit("one of --model_path or --exported is required")
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(translator, args))
     print(f"서빙 시작: http://{args.host}:{server.server_address[1]} "

@@ -96,3 +96,62 @@ def test_export_cli_missing_checkpoint(tmp_path):
 
     rc = main([f"--model_path={tmp_path / 'nope'}", "--image_size=16"])
     assert rc == 1
+
+
+def test_serve_from_artifact(gen16, tmp_path):
+    """The daemon serves a StableHLO artifact with no checkpoint on disk:
+    the full code-free deployment chain (export -> HTTP translate)."""
+    import io
+    import json
+    import threading
+    import urllib.request
+
+    from PIL import Image
+
+    from discogan_modernized_tpu.tools.export_model import export_generator
+    from discogan_modernized_tpu.tools.serve import parse_args, serve
+
+    params, state = gen16
+    fwd = tmp_path / "gen_B.stablehlo"
+    fwd.write_bytes(export_generator(params, state, 16, batch=0,
+                                     precision="f32"))
+    rev = tmp_path / "gen_A.stablehlo"
+    rev.write_bytes(export_generator(params, state, 16, batch=1,
+                                     precision="f32"))
+
+    args = parse_args([f"--exported={fwd}", f"--exported_rev={rev}",
+                       "--image_size=16", "--port=0"])
+    srv, translator = serve(args)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+            assert json.load(r)["exported"] is True
+        img = Image.fromarray((np.random.RandomState(0)
+                               .rand(16, 16, 3) * 255).astype(np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        for path in ("/translate", "/reconstruct"):
+            req = urllib.request.Request(
+                url + path, data=buf.getvalue(),
+                headers={"Content-Type": "image/png"})
+            with urllib.request.urlopen(req, timeout=30) as r:
+                assert r.status == 200
+                out = Image.open(io.BytesIO(r.read()))
+                assert out.size == (16, 16)
+        assert translator.stats()["requests"] == 2
+    finally:
+        srv.shutdown()
+
+
+def test_serve_rejects_static_multi_batch_artifact(gen16, tmp_path):
+    from discogan_modernized_tpu.tools.export_model import export_generator
+    from discogan_modernized_tpu.tools.serve import ExportedTranslator
+
+    params, state = gen16
+    p = tmp_path / "b4.stablehlo"
+    p.write_bytes(export_generator(params, state, 16, batch=4,
+                                   precision="f32"))
+    with pytest.raises(ValueError, match="static batch 4"):
+        ExportedTranslator(p, 16)
