@@ -133,6 +133,24 @@ def main(argv=None):
     out.write_bytes(data)
     batch_s = "b (symbolic)" if args.batch == 0 else str(args.batch)
     plat_s = ",".join(platforms) if platforms else "default"
+    # Ops-traceability sidecar: what the artifact is and where it came
+    # from (the artifact itself is opaque StableHLO bytes).
+    import json
+    import time as _time
+
+    meta = {
+        "generator": name,
+        "direction": args.direction,
+        "image_size": args.image_size,
+        "batch": "symbolic" if args.batch == 0 else args.batch,
+        "platforms": platforms or ["default"],
+        "precision": args.precision or "backend-default",
+        "source_checkpoint": str(Path(args.model_path).resolve()),
+        "artifact_bytes": len(data),
+        "created": _time.strftime("%Y-%m-%dT%H:%M:%S%z"),
+    }
+    out.with_suffix(out.suffix + ".json").write_text(
+        json.dumps(meta, indent=2) + "\n")
     print(f"exported {name} -> {out} ({len(data) / 1e6:.2f} MB, "
           f"batch={batch_s}, platforms={plat_s})")
     return 0

@@ -85,6 +85,12 @@ def test_export_cli_from_reference_layout(gen16, tmp_path):
                f"--output={out}"])
     assert rc == 0 and out.exists()
 
+    import json
+
+    meta = json.loads(out.with_suffix(".stablehlo.json").read_text())
+    assert meta["generator"] == "gen_B" and meta["image_size"] == 16
+    assert meta["artifact_bytes"] == out.stat().st_size
+
     exp = load_exported(out)
     x = np.random.RandomState(2).rand(1, 16, 16, 3).astype(np.float32)
     np.testing.assert_allclose(np.asarray(exp.call(x)),
