@@ -277,8 +277,18 @@ def inference_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description='TPU-native DiscoGAN inference')
     p.add_argument('--device', type=str, default='tpu',
                    help='Device to use (tpu/cpu)')
-    p.add_argument('--model_path', type=str, required=True,
-                   help='Path to the saved model weights')
+    p.add_argument('--model_path', type=str, default=None,
+                   help='Path to the saved model weights (required unless '
+                        '--exported is given)')
+    p.add_argument('--exported', type=str, default=None,
+                   help='(extension) run from a jax.export StableHLO '
+                        'artifact (tools/export_model.py) instead of a '
+                        'checkpoint — no model weights needed; must match '
+                        '--image_size and --batch_size (or be a symbolic-'
+                        'batch artifact)')
+    p.add_argument('--exported_rev', type=str, default=None,
+                   help='(extension) reverse-generator artifact for the '
+                        'reconstruction panel')
     p.add_argument('--input_path', type=str, required=True,
                    help='Path to input image or directory with images')
     p.add_argument('--output_dir', type=str, default='./inference_results',

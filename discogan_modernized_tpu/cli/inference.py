@@ -63,32 +63,74 @@ def main(argv=None):
     output_dir = Path(args.output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
 
-    model_dir = Path(args.model_path)
-    fwd_name = "gen_B" if args.direction == "AtoB" else "gen_A"
-    rev_name = "gen_A" if args.direction == "AtoB" else "gen_B"
+    batch_n = max(1, int(getattr(args, "batch_size", 1)))
 
-    try:
-        fwd_params, fwd_state = load_reference_weights(
-            model_dir / f"{fwd_name}_final.pth", fwd_name, args.image_size)
-        print(f"모델 로드 성공: {model_dir / (fwd_name + '_final.pth')}")
-    except Exception as e:
-        print(f"모델 로드 실패: {e}")
-        print("다음 파일이 있는지 확인하세요:")
-        for f in model_dir.glob("*.pth"):
-            print(f" - {f}")
-        return 1
+    if getattr(args, "exported", None):
+        # Artifact mode: the compiled forward (weights baked in) comes
+        # from tools/export_model.py — no checkpoint or model code path.
+        from ..tools.export_model import load_exported
 
-    rev = None
-    rev_path = model_dir / f"{rev_name}_final.pth"
-    if rev_path.exists():
-        rev = load_reference_weights(rev_path, rev_name, args.image_size)
+        def _load_artifact(path):
+            exp = load_exported(path)
+            aval = exp.in_avals[0]
+            if tuple(aval.shape[1:]) != (args.image_size, args.image_size, 3):
+                raise SystemExit(
+                    f"artifact {path} expects input {tuple(aval.shape)}, "
+                    f"which does not match --image_size={args.image_size}")
+            b = aval.shape[0]
+            if isinstance(b, int) and b != batch_n:
+                raise SystemExit(
+                    f"artifact {path} was exported with static batch {b}; "
+                    f"pass --batch_size={b} or re-export with --batch 0 "
+                    "(symbolic)")
+            return exp
 
-    policy = default_policy(getattr(args, 'precision', None))
+        fwd_exp = _load_artifact(args.exported)
+        rev_exp = (_load_artifact(args.exported_rev)
+                   if args.exported_rev else None)
+        print(f"아티팩트 로드 성공: {args.exported}")
 
-    @jax.jit
-    def translate(params, state, x):
-        y, _ = generator_apply(params, state, x, policy=policy, training=False)
-        return y
+        def run_fwd(x):
+            return fwd_exp.call(x)
+
+        run_rev = (lambda y: rev_exp.call(y)) if rev_exp else None
+    elif args.model_path:
+        model_dir = Path(args.model_path)
+        fwd_name = "gen_B" if args.direction == "AtoB" else "gen_A"
+        rev_name = "gen_A" if args.direction == "AtoB" else "gen_B"
+
+        try:
+            fwd_params, fwd_state = load_reference_weights(
+                model_dir / f"{fwd_name}_final.pth", fwd_name, args.image_size)
+            print(f"모델 로드 성공: {model_dir / (fwd_name + '_final.pth')}")
+        except Exception as e:
+            print(f"모델 로드 실패: {e}")
+            print("다음 파일이 있는지 확인하세요:")
+            for f in model_dir.glob("*.pth"):
+                print(f" - {f}")
+            return 1
+
+        rev = None
+        rev_path = model_dir / f"{rev_name}_final.pth"
+        if rev_path.exists():
+            rev = load_reference_weights(rev_path, rev_name, args.image_size)
+
+        policy = default_policy(getattr(args, 'precision', None))
+
+        @jax.jit
+        def translate(params, state, x):
+            y, _ = generator_apply(params, state, x, policy=policy,
+                                   training=False)
+            return y
+
+        def run_fwd(x):
+            return translate(fwd_params, fwd_state, x)
+
+        run_rev = ((lambda y: translate(rev[0], rev[1], y))
+                   if rev is not None else None)
+    else:
+        print("inference.py: --model_path 또는 --exported 가 필요합니다")
+        return 2
 
     input_path = Path(args.input_path)
     if input_path.is_dir():
@@ -98,7 +140,6 @@ def main(argv=None):
 
     import time
 
-    batch_n = max(1, int(getattr(args, "batch_size", 1)))
     p50_samples = []
     pending: list[tuple] = []  # (file, image)
 
@@ -112,10 +153,10 @@ def main(argv=None):
         x = jnp.asarray(np.concatenate([imgs, np.zeros(
             (pad,) + imgs.shape[1:], np.float32)]) if pad else imgs)
         t0 = time.perf_counter()
-        generated = translate(fwd_params, fwd_state, x)
+        generated = run_fwd(x)
         reconstructed = None
-        if rev is not None:
-            reconstructed = translate(rev[0], rev[1], generated)
+        if run_rev is not None:
+            reconstructed = run_rev(generated)
         gen_np = np.asarray(generated)
         rec_np = np.asarray(reconstructed) if reconstructed is not None else None
         # Per-image latency = batch time / rows COMPUTED (incl. padding):

@@ -151,6 +151,51 @@ def test_serve_from_artifact(gen16, tmp_path):
         srv.shutdown()
 
 
+def test_inference_cli_from_artifact(gen16, tmp_path):
+    """inference.py --exported runs the full CLI (load -> translate ->
+    panel png) from a StableHLO artifact alone — no checkpoint, no
+    model-code weight path — and matches the checkpoint-mode forward."""
+    from PIL import Image
+
+    from discogan_modernized_tpu.cli.inference import main as infer_main
+    from discogan_modernized_tpu.tools.export_model import export_generator
+
+    params, state = gen16
+    fwd = tmp_path / "gen_B.stablehlo"
+    fwd.write_bytes(export_generator(params, state, 16, batch=1,
+                                     precision="f32"))
+    rev = tmp_path / "gen_A.stablehlo"
+    rev.write_bytes(export_generator(params, state, 16, batch=0,
+                                     precision="f32"))
+
+    img = tmp_path / "input.png"
+    Image.fromarray((np.random.RandomState(0)
+                     .rand(16, 16, 3) * 255).astype(np.uint8)).save(img)
+
+    out_dir = tmp_path / "out"
+    rc = infer_main([f"--exported={fwd}", f"--exported_rev={rev}",
+                     f"--input_path={img}", f"--output_dir={out_dir}",
+                     "--image_size=16", "--device=cpu"])
+    assert rc == 0
+    assert (out_dir / "input_result.png").exists()
+
+    # Wrong --image_size must be rejected up front, not crash mid-run.
+    with pytest.raises(SystemExit):
+        infer_main([f"--exported={fwd}", f"--input_path={img}",
+                    f"--output_dir={out_dir}", "--image_size=32",
+                    "--device=cpu"])
+
+    # Static-batch mismatch: b1 artifact with --batch_size=4.
+    with pytest.raises(SystemExit):
+        infer_main([f"--exported={fwd}", f"--input_path={img}",
+                    f"--output_dir={out_dir}", "--image_size=16",
+                    "--batch_size=4", "--device=cpu"])
+
+    # Neither --model_path nor --exported: usage error, exit 2.
+    assert infer_main([f"--input_path={img}", f"--output_dir={out_dir}",
+                       "--image_size=16", "--device=cpu"]) == 2
+
+
 def test_serve_rejects_static_multi_batch_artifact(gen16, tmp_path):
     from discogan_modernized_tpu.tools.export_model import export_generator
     from discogan_modernized_tpu.tools.serve import ExportedTranslator
