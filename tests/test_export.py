@@ -196,6 +196,36 @@ def test_inference_cli_from_artifact(gen16, tmp_path):
                        "--image_size=16", "--device=cpu"]) == 2
 
 
+def test_inference_cli_artifact_symbolic_batched(gen16, tmp_path):
+    """A symbolic-batch artifact serves --batch_size>1 with a padded final
+    chunk: 5 images through batch 4 -> one full + one padded flush, all
+    result panels written."""
+    from PIL import Image
+
+    from discogan_modernized_tpu.cli.inference import main as infer_main
+    from discogan_modernized_tpu.tools.export_model import export_generator
+
+    params, state = gen16
+    fwd = tmp_path / "gen_B.stablehlo"
+    fwd.write_bytes(export_generator(params, state, 16, batch=0,
+                                     precision="f32"))
+
+    in_dir = tmp_path / "imgs"
+    in_dir.mkdir()
+    for i in range(5):
+        Image.fromarray((np.random.RandomState(i)
+                         .rand(16, 16, 3) * 255).astype(np.uint8)
+                        ).save(in_dir / f"im{i}.jpg")
+
+    out_dir = tmp_path / "out"
+    rc = infer_main([f"--exported={fwd}", f"--input_path={in_dir}",
+                     f"--output_dir={out_dir}", "--image_size=16",
+                     "--batch_size=4", "--device=cpu"])
+    assert rc == 0
+    for i in range(5):
+        assert (out_dir / f"im{i}_result.png").exists()
+
+
 def test_serve_rejects_static_multi_batch_artifact(gen16, tmp_path):
     from discogan_modernized_tpu.tools.export_model import export_generator
     from discogan_modernized_tpu.tools.serve import ExportedTranslator
