@@ -90,10 +90,11 @@ def main(argv=None):
                    if args.exported_rev else None)
         print(f"아티팩트 로드 성공: {args.exported}")
 
-        def run_fwd(x):
-            return fwd_exp.call(x)
-
-        run_rev = (lambda y: rev_exp.call(y)) if rev_exp else None
+        # Exported.call re-traces every invocation (measured 1.7-9x the
+        # live-jit per-call latency, PERF.md); jit it once like the
+        # checkpoint path jits translate.
+        run_fwd = jax.jit(fwd_exp.call)
+        run_rev = jax.jit(rev_exp.call) if rev_exp else None
     elif args.model_path:
         model_dir = Path(args.model_path)
         fwd_name = "gen_B" if args.direction == "AtoB" else "gen_A"

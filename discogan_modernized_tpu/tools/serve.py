@@ -140,11 +140,13 @@ class ExportedTranslator:
     request)."""
 
     def __init__(self, exported_path, image_size, exported_rev=None):
+        import jax
+
         from .export_model import load_exported
 
         self.image_size = image_size
-        self._fwd = load_exported(exported_path)
-        aval = self._fwd.in_avals[0]
+        exp = load_exported(exported_path)
+        aval = exp.in_avals[0]
         if tuple(aval.shape[1:]) != (image_size, image_size, 3):
             raise ValueError(
                 f"artifact expects input {tuple(aval.shape)}, which does "
@@ -155,25 +157,30 @@ class ExportedTranslator:
                 f"artifact was exported with static batch {b}; the daemon "
                 "serves one image per request — re-export with --batch 1 "
                 "or --batch 0 (symbolic)")
-        self._rev = load_exported(exported_rev) if exported_rev else None
+        # Exported.call re-traces on EVERY invocation (measured 1.7-9x
+        # the live-jit per-call latency, PERF.md); jit-wrapping it caches
+        # the executable per input shape like any jitted function.
+        self._fwd = jax.jit(exp.call)
+        self._rev = (jax.jit(load_exported(exported_rev).call)
+                     if exported_rev else None)
         self._lock = threading.Lock()
         self.latencies: list = []
         self.count = 0
         dummy = np.zeros((1, image_size, image_size, 3), np.float32)
-        np.asarray(self._fwd.call(dummy))
+        np.asarray(self._fwd(dummy))
         if self._rev is not None:
-            np.asarray(self._rev.call(dummy))
+            np.asarray(self._rev(dummy))
 
     def translate(self, img: np.ndarray, reconstruct: bool = False) -> np.ndarray:
         x = np.asarray(img, np.float32)[None]
         with self._lock:
             t0 = time.perf_counter()
-            y = self._fwd.call(x)
+            y = self._fwd(x)
             if reconstruct:
                 if self._rev is None:
                     raise RuntimeError(
                         "no reverse artifact (--exported_rev) loaded")
-                y = self._rev.call(np.asarray(y))
+                y = self._rev(np.asarray(y))
             out = np.asarray(y)[0]
             self.latencies.append(time.perf_counter() - t0)
             self.latencies = self.latencies[-1000:]
