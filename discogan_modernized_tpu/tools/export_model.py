@@ -82,7 +82,11 @@ def export_from_checkpoint(model_path, direction: str, image_size: int, *,
 def load_exported(path_or_bytes):
     """Deserialize an artifact; returns the jax.export Exported — call it
     via `.call(x)` with a float32 NHWC batch in [0,1]. Needs no model
-    code or weights: both live inside the artifact."""
+    code or weights: both live inside the artifact.
+
+    Hot paths must wrap the call once in `jax.jit(exp.call)`: the raw
+    `.call` re-traces every invocation (measured 1.7-9x the jitted
+    per-call latency — PERF.md 'artifact-serving latency')."""
     from jax import export as jexport
 
     if isinstance(path_or_bytes, (bytes, bytearray)):
