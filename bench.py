@@ -266,7 +266,10 @@ def _scratch_cache_dir(prefix: str):
 
 
 def measure_train_with_decode(image_size: int, batch: int,
-                              n_steps: int = 320) -> dict:
+                              n_steps: int = 320, files=None,
+                              domains=("A", "B"),
+                              cache_prefix: str = "bench_decode_cache_"
+                              ) -> dict:
     # n_steps sizes only the WARM window: 60 steps (~0.25s of compute)
     # paid the ~28ms tunnel sync as ~25% phantom overhead, underselling
     # the cached-epoch path vs the compute benchmark's 400-step window.
@@ -277,7 +280,12 @@ def measure_train_with_decode(image_size: int, batch: int,
     sample pays JPEG decode + dilate + resize, exactly the reference's
     steady state); warm = later epochs served by the decoded-sample cache
     (data/cache.py). Compilation happens before the cold timing so the
-    cold number isolates the input pipeline, not XLA."""
+    cold number isolates the input pipeline, not XLA.
+
+    files: optional (files_A, files_B) path lists (each domain's own) —
+    used by the resolver-path benchmarks (measure_train_celebA); default
+    synthesizes edges2*-style AB jpegs. domains: decode-time domain tags.
+    """
     import tempfile
     from pathlib import Path
 
@@ -291,10 +299,14 @@ def measure_train_with_decode(image_size: int, batch: int,
         make_train_steps,
     )
 
-    data_dir = Path(tempfile.gettempdir()) / f"bench_ab_{image_size}"
-    files = _synth_jpegs(data_dir, 256, 256, 512)
+    if files is None:
+        data_dir = Path(tempfile.gettempdir()) / f"bench_ab_{image_size}"
+        fl = _synth_jpegs(data_dir, 256, 256, 512)
+        files_A = files_B = fl
+    else:
+        files_A, files_B = files
 
-    with _scratch_cache_dir("bench_decode_cache_"):
+    with _scratch_cache_dir(cache_prefix):
         from discogan_modernized_tpu.train.step import make_scan_train_step
 
         k = 8  # the CLI trainer's default steps_per_call
@@ -304,8 +316,8 @@ def measure_train_with_decode(image_size: int, batch: int,
                           lean_dis=True, slim_state="mv")
         ts = init_train_state(jax.random.PRNGKey(0), cfg)
         multi = make_scan_train_step(cfg, steps=k)
-        loader = PrefetchLoader(files, files, batch, image_size,
-                                domain_A="A", domain_B="B")
+        loader = PrefetchLoader(files_A, files_B, batch, image_size,
+                                domain_A=domains[0], domain_B=domains[1])
         if not loader.device_cache:
             raise RuntimeError("decode bench needs the HBM-resident "
                                "dataset (check DISCOGAN_DEVICE_CACHE"
@@ -318,15 +330,17 @@ def measure_train_with_decode(image_size: int, batch: int,
         # different shape would be a jit cache miss and the cold window
         # would time a recompile instead of the pipeline.
         rng = np.random.RandomState(0)
-        nd = len(files)
         # Match the loader's DEVICE dtype (bf16 under
         # DISCOGAN_DEVICE_CACHE_BF16=1) — an f32-typed warmup would leave
         # the real bf16 program to recompile inside the cold window.
         ddt = loader._device_dtype()
-        dummy_A = jnp.asarray(rng.rand(nd, image_size, image_size, 3), ddt)
-        dummy_B = jnp.asarray(rng.rand(nd, image_size, image_size, 3), ddt)
-        di = jnp.asarray(rng.randint(0, nd, (k, batch)), jnp.int32)
-        ts, losses = multi(ts, dummy_A, dummy_B, di, di, jnp.int32(0))
+        dummy_A = jnp.asarray(
+            rng.rand(len(files_A), image_size, image_size, 3), ddt)
+        dummy_B = jnp.asarray(
+            rng.rand(len(files_B), image_size, image_size, 3), ddt)
+        da = jnp.asarray(rng.randint(0, len(files_A), (k, batch)), jnp.int32)
+        db = jnp.asarray(rng.randint(0, len(files_B), (k, batch)), jnp.int32)
+        ts, losses = multi(ts, dummy_A, dummy_B, da, db, jnp.int32(0))
         _ = float(losses["gen_total"][-1])
         del dummy_A, dummy_B
 
@@ -365,6 +379,60 @@ def measure_train_with_decode(image_size: int, batch: int,
         run_steps(ts, dev_A, dev_B, n_steps, it0=2 * n0)
         warm = batch * n_steps / (time.perf_counter() - t0)
         return {"cold": cold, "warm": warm}
+
+
+def measure_train_celebA(batch: int = 64, n_steps: int = 320) -> dict:
+    """BASELINE config[2]: celebA --style_A=Male --style_B=Smiling,
+    discogan, batch 64 — measured THROUGH the real attribute-split
+    resolver (data/resolvers.get_celebA_files parsing a synthesized
+    list_attr_celeba.txt over 178x218 jpgs, the real celebA source
+    geometry) and the real decode/resize path, then the production scan
+    program. Round 2 only ASSERTED "same compute path as configs[1]";
+    this measures it as its own row."""
+    import os
+    import tempfile
+    from pathlib import Path
+
+    from PIL import Image
+
+    root = Path(tempfile.gettempdir()) / "bench_celebA_root"
+    celeb = root / "celebA"
+    img_dir = celeb / "img_align_celeba"
+    n = 560
+    if len(list(img_dir.glob("*.jpg"))) < n \
+            or not (celeb / "list_attr_celeba.txt").exists():
+        img_dir.mkdir(parents=True, exist_ok=True)
+        rng = np.random.RandomState(7)
+        rows = []
+        for i in range(n):
+            name = f"{i:06d}.jpg"
+            Image.fromarray((rng.rand(218, 178, 3) * 255)
+                            .astype(np.uint8)).save(img_dir / name,
+                                                    quality=92)
+            male = 1 if i % 2 == 0 else -1
+            smiling = 1 if i % 3 != 0 else -1
+            rows.append(f"{name} {male} {smiling}")
+        (celeb / "list_attr_celeba.txt").write_text(
+            "\n".join([str(n), "Male Smiling", *rows]) + "\n")
+
+    old_root = os.environ.get("DISCOGAN_DATASETS_ROOT")
+    os.environ["DISCOGAN_DATASETS_ROOT"] = str(root)
+    try:
+        from discogan_modernized_tpu.data.resolvers import (
+            get_celebA_files, task_domains)
+
+        files_A, files_B = get_celebA_files("Male", "Smiling", None, None,
+                                            test=False, n_test=20)
+        return measure_train_with_decode(
+            64, batch, n_steps=n_steps,
+            files=(list(files_A), list(files_B)),
+            domains=task_domains("celebA"),
+            cache_prefix="bench_celebA_cache_")
+    finally:
+        if old_root is None:
+            os.environ.pop("DISCOGAN_DATASETS_ROOT", None)
+        else:
+            os.environ["DISCOGAN_DATASETS_ROOT"] = old_root
 
 
 def measure_train_with_decode_512(batch: int = 32, n_per_domain: int = 256,
@@ -725,6 +793,44 @@ def main(full: bool = False):
             "note": "--slim_state all --remat off --lean_dis (bf16 state "
                     "+ stored activations; stochastically-rounded updates; "
                     "lean D-step measured +5% interleaved at this point)",
+        }
+        # BASELINE config[0]: edges2shoes, model_arch=gan, 64px, batch 16
+        # — the gan arch trains only the gen_B/dis_B path; b16 underfills
+        # the MXU (measured in BASELINE.md prose round 2; now a row).
+        v_gan16 = measure_train(64, 16, model_arch="gan", lean_dis=True,
+                                slim_state="mv")
+        detail["train_64px_b16_gan"] = {
+            "value": round(v_gan16, 1),
+            "unit": "images/sec/chip",
+            "note": "BASELINE config[0]: model_arch=gan (B-path only), "
+                    "batch 16, production operating point (lean_dis + "
+                    "slim mv)",
+        }
+        # BASELINE config[3]: car2car angle pairing — the angle loss
+        # variant (skip-first-FM feature, 0.9/0.9 curriculum rates, ref
+        # angle_pairing.py:55-58,114-115).
+        v_angle = measure_train(64, 64, skip_first_fm=True,
+                                starting_rate=0.9, default_rate=0.9,
+                                lean_dis=True, slim_state="mv")
+        detail["train_64px_b64_car2car_angle"] = {
+            "value": round(v_angle, 1),
+            "unit": "images/sec/chip",
+            "note": "BASELINE config[3]: angle-pairing loss variant "
+                    "(skip_first_fm, 0.9/0.9 rates), production operating "
+                    "point",
+        }
+        # BASELINE config[2]: celebA Male/Smiling through the REAL
+        # attribute-split resolver + decode path (see measure_train_celebA).
+        celeb = measure_train_celebA(64)
+        detail["train_64px_b64_celebA_resolver"] = {
+            "cold_first_epoch": round(celeb["cold"], 1),
+            "warm_cached_epochs": round(celeb["warm"], 1),
+            "unit": "images/sec/chip",
+            "note": "BASELINE config[2]: celebA --style_A=Male "
+                    "--style_B=Smiling through the real "
+                    "list_attr_celeba.txt resolver (178x218 source jpgs, "
+                    "whole-image resize) + decode cache + HBM dataset + "
+                    "scan; cold = first epoch incl. every decode",
         }
         inf = measure_inference_p50(64)
         detail["inference_p50_64px"] = {

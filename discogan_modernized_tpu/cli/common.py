@@ -52,6 +52,22 @@ def parse_with_config(parser: argparse.ArgumentParser, argv=None):
                     raise SystemExit(
                         f"config key {key!r}: invalid value {val!r} "
                         f"(expected {getattr(a.type, '__name__', a.type)})")
+            elif a.type in (int, float) and val is not None:
+                # Non-string YAML scalars bypass argparse's conversion (it
+                # only runs on command-line strings) — coerce them through
+                # the same type, rejecting lossy values (image_size: 64.5)
+                # and booleans (YAML `true` for an int flag), so config
+                # inputs get exactly the CLI checks.
+                if isinstance(val, bool) or not isinstance(val, (int, float)):
+                    raise SystemExit(
+                        f"config key {key!r}: invalid value {val!r} "
+                        f"(expected {a.type.__name__})")
+                coerced = a.type(val)
+                if coerced != val:
+                    raise SystemExit(
+                        f"config key {key!r}: value {val!r} is not a valid "
+                        f"{a.type.__name__} (lossy conversion)")
+                val = coerced
             if a.choices is not None and val is not None \
                     and val not in a.choices:
                 raise SystemExit(

@@ -68,7 +68,7 @@ def main(argv=None):
     if getattr(args, "exported", None):
         # Artifact mode: the compiled forward (weights baked in) comes
         # from tools/export_model.py — no checkpoint or model code path.
-        from ..tools.export_model import load_exported
+        from ..tools.export_model import load_exported, load_artifact_sidecar
 
         def _load_artifact(path):
             exp = load_exported(path)
@@ -89,6 +89,35 @@ def main(argv=None):
         rev_exp = (_load_artifact(args.exported_rev)
                    if args.exported_rev else None)
         print(f"아티팩트 로드 성공: {args.exported}")
+
+        # Artifacts bake the generator AND compute dtype at export time —
+        # --direction/--precision cannot change them here. Cross-check
+        # against the exporter's sidecar when present (a silent mismatch
+        # would serve the wrong generator / the wrong dtype).
+        meta = load_artifact_sidecar(args.exported)
+        if meta is not None:
+            want = "gen_B" if args.direction == "AtoB" else "gen_A"
+            if meta.get("generator") and meta["generator"] != want:
+                raise SystemExit(
+                    f"artifact {args.exported} embeds {meta['generator']} "
+                    f"(exported for --direction {meta.get('direction')}); "
+                    f"--direction {args.direction} needs {want} — pass the "
+                    f"matching direction or re-export")
+            baked = meta.get("precision")
+            if (args.precision and baked not in
+                    (None, "backend-default", args.precision)):
+                raise SystemExit(
+                    f"--precision {args.precision} conflicts with the "
+                    f"artifact's baked compute dtype ({baked}) — precision "
+                    f"is fixed at export; re-export with --precision "
+                    f"{args.precision}")
+        else:
+            if args.precision:
+                print("경고: --precision 은 아티팩트 모드에서 무시됩니다 "
+                      "(컴퓨트 dtype은 내보내기 시점에 고정됨)")
+            print("참고: 아티팩트 모드에서 생성기는 아티팩트에 고정되어 "
+                  "있습니다 — --direction 은 선택에 영향을 주지 않습니다 "
+                  "(사이드카 .json 이 없어 교차 검증은 생략)")
 
         # Exported.call re-traces every invocation (measured 1.7-9x the
         # live-jit per-call latency, PERF.md); jit it once like the

@@ -105,6 +105,12 @@ class DecodedCache:
                               shape=self.shape)
         self.status = np.memmap(self.status_path, dtype=np.uint8, mode="r+",
                                 shape=(len(self.paths),))
+        # Stored samples whose STATUS_OK flag is withheld until their data
+        # pages are msync'd (see store(); flushed in batches — a per-sample
+        # synchronous msync added a disk-flush stall to every cold-path
+        # decode, ~3MB/sample at 512px).
+        self._pending: list[int] = []
+        self._pending_set: set[int] = set()
         meta = root / f"{digest}.json"
         if not meta.exists():
             meta.write_text(json.dumps({
@@ -292,9 +298,18 @@ class DecodedCache:
         if i is None:
             return _STATUS_UNKNOWN, None
         st = int(self.status[i])
+        if st != _STATUS_OK and i in self._pending_set:
+            st = _STATUS_OK  # stored in-process, OK flag awaiting batch sync
         if st == _STATUS_OK:
             return st, np.array(self.data[i], copy=True)
         return st, None
+
+    # STATUS_OK publication batch size: one msync per N stores instead of
+    # per sample (the sync guards a rare OS/power-crash write-reorder
+    # window; batching keeps the guarantee — OK flags only ever follow
+    # their data pages to disk — without a per-sample flush stall on the
+    # cold decode path).
+    _SYNC_EVERY = 64
 
     def store(self, path: str, arr: Optional[np.ndarray]):
         i = self.index.get(str(path))
@@ -309,29 +324,43 @@ class DecodedCache:
             # persist STATUS_OK while the data page holds zeros — a
             # permanently poisoned sample the fingerprint can't catch
             # (the same window the creation path closes with its fsync'd
-            # status invalidation, _create_locked). msync just this
-            # sample's data range to disk BEFORE the OK flag goes in.
-            self._sync_data_range(i)
-            self.status[i] = _STATUS_OK
+            # status invalidation, _create_locked). Defer the OK flag
+            # until the data pages are msync'd — in batches, so the cold
+            # path pays one flush per _SYNC_EVERY decodes. A crash before
+            # publication re-decodes at most one batch (deterministic
+            # output — no correctness cost).
+            self._pending.append(i)
+            self._pending_set.add(i)
+            if len(self._pending) >= self._SYNC_EVERY:
+                self._publish_pending()
 
-    def _sync_data_range(self, i: int):
-        """msync the pages backing sample i of the data memmap."""
+    def _publish_pending(self):
+        """msync the pending samples' data pages, THEN set their OK flags."""
+        if not self._pending:
+            return
         import mmap as _mmap
 
         try:
             stride = self.data.strides[0]
             gran = _mmap.ALLOCATIONGRANULARITY
-            start = (i * stride // gran) * gran
-            end = min((i + 1) * stride, self.data.nbytes)
+            lo, hi = min(self._pending), max(self._pending)
+            start = (lo * stride // gran) * gran
+            end = min((hi + 1) * stride, self.data.nbytes)
+            # One coalesced range: clean pages inside it cost nothing.
             self.data.base.flush(start, end - start)
         except Exception:
             # Fall back to a full flush (correct, just coarser).
             self.data.flush()
+        for i in self._pending:
+            self.status[i] = _STATUS_OK
+        self._pending.clear()
+        self._pending_set.clear()
 
     @property
     def hit_fraction(self) -> float:
         return float(np.mean(self.status != _STATUS_UNKNOWN)) if len(self.paths) else 1.0
 
     def flush(self):
+        self._publish_pending()
         self.data.flush()
         self.status.flush()

@@ -116,13 +116,15 @@ class PrefetchLoader:
             return jnp.bfloat16
         return np.float32
 
-    def _fits_device_budget(self) -> bool:
-        """True when both decoded domains fit the HBM budget
+    def _fits_device_budget(self, n_shards: int = 1) -> bool:
+        """True when both decoded domains fit the PER-DEVICE HBM budget
         (DISCOGAN_DEVICE_CACHE_BUDGET bytes; default 30% of the reported
-        HBM limit, or 4 GB when the backend hides memory stats)."""
+        HBM limit, or 4 GB when the backend hides memory stats).
+        n_shards: devices the LOCAL data will be row-sharded over
+        (device_data_sharded) — each device holds 1/n_shards of it."""
         per = (self.image_size * self.image_size * 3
                * np.dtype(self._device_dtype()).itemsize)
-        need = (len(self.data_A) + len(self.data_B)) * per
+        need = (len(self.data_A) + len(self.data_B)) * per / max(1, n_shards)
         budget = os.environ.get("DISCOGAN_DEVICE_CACHE_BUDGET")
         if budget is not None:
             return need <= int(float(budget))
@@ -183,6 +185,103 @@ class PrefetchLoader:
         if self._dev_A is None:
             self._build_device_dataset()
         return self._dev_A, self._dev_B
+
+    def device_data_sharded(self, mesh):
+        """HBM-resident decoded datasets SHARDED over `mesh`'s data axis.
+
+        Returns (dev_A, dev_B, shard_len_A, shard_len_B): global
+        (N, H, W, 3) jax.Arrays laid out P(data) — every device pins its
+        own private row block of the decoded dataset (the
+        DistributedSampler shard analog, ref distributed_image_translation
+        .py:203-208, but resident in HBM) — plus the per-device shard
+        lengths the index generator needs. This process decodes only its
+        own rows (self.data_* is already the per-host shard in multi-
+        process runs), truncated to a multiple of its local device count
+        so shards stay equal; the consumer gathers per-device batches
+        with LOCAL indices in [0, shard_len) (parallel/dp.py
+        make_dp_scan_train_step).
+        """
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..core.mesh import DATA_AXIS
+
+        n_data = mesh.shape[DATA_AXIS]
+        n_local = max(1, n_data // jax.process_count())
+        sharding = NamedSharding(mesh, P(DATA_AXIS))
+        dtype = self._device_dtype()
+
+        def build(data, is_paths, domain, cache):
+            L = len(data) // n_local
+            if L == 0:
+                raise ValueError(
+                    f"dataset smaller than the local device count "
+                    f"({len(data)} < {n_local}) — every device shard "
+                    f"needs at least one sample")
+            keep = L * n_local
+            if not is_paths:
+                local = np.asarray(data[:keep], np.float32)
+            else:
+                local = np.empty(
+                    (keep, self.image_size, self.image_size, 3), np.float32)
+                paths = [str(p) for p in data[:keep]]
+                chunk = 256
+                for i in range(0, keep, chunk):
+                    arrs = self._decode_paths(paths[i:i + chunk], domain,
+                                              cache, keep_positions=True)
+                    arrs = [a if a is not None else np.random.rand(
+                                self.image_size, self.image_size, 3
+                            ).astype(np.float32)
+                            for a in arrs]
+                    local[i:i + len(arrs)] = np.stack(arrs)
+            if np.dtype(dtype) != np.float32:
+                local = local.astype(dtype)
+            return jax.make_array_from_process_local_data(sharding, local), L
+
+        dev_A, L_A = build(self.data_A, self.paths_A, self.domain_A,
+                           self.cache_A)
+        dev_B, L_B = build(self.data_B, self.paths_B, self.domain_B,
+                           self.cache_B)
+        for c in (self.cache_A, self.cache_B):
+            if c is not None:
+                c.flush()
+        return dev_A, dev_B, L_A, L_B
+
+    def sharded_epoch_indices(self, mesh, batch_size: int, n_batches: int,
+                              shard_len_A: int, shard_len_B: int,
+                              shuffle: bool = True):
+        """One epoch of LOCAL gather-index rows for the DP scan program.
+
+        Returns (idx_A, idx_B): (n_batches, batch_size) int32, where
+        batch_size is this process's local batch and columns are blocked
+        per local device — column block j holds indices into local device
+        j's own dataset shard (an independent permutation per shard: the
+        per-rank unpaired shuffle, ref dataset.py:24-35 under
+        DistributedSampler). Row i, assembled across processes with
+        P(None, data) sharding, is the global batch of step i."""
+        import jax
+
+        from ..core.mesh import DATA_AXIS
+
+        n_local = max(1, mesh.shape[DATA_AXIS] // jax.process_count())
+        if batch_size % n_local:
+            raise ValueError(
+                f"batch_size {batch_size} must divide over the "
+                f"{n_local} local devices")
+        pdb = batch_size // n_local
+
+        def perms(L):
+            out = np.empty((n_batches, n_local, pdb), np.int32)
+            for j in range(n_local):
+                p = (np.random.permutation(L) if shuffle
+                     else np.arange(L, dtype=np.int64))
+                # L >= pdb * n_batches always holds (both are floor-
+                # truncations of the same host shard), so one epoch never
+                # repeats a sample within a shard.
+                out[:, j, :] = p[:n_batches * pdb].reshape(n_batches, pdb)
+            return out.reshape(n_batches, batch_size)
+
+        return perms(shard_len_A), perms(shard_len_B)
 
     def release_device_cache(self):
         """Drop the HBM-resident datasets and fall back to host-side batch

@@ -29,7 +29,8 @@ from jax.sharding import PartitionSpec as P
 
 from ..core.mesh import DATA_AXIS
 from ..core.precision import Policy, default_policy
-from ..train.step import TrainConfig, _make_branch, env_compiler_options
+from ..train.step import (TrainConfig, _make_branch, env_compiler_options,
+                          scan_multi_body)
 
 
 def _ts_specs(cfg: TrainConfig):
@@ -118,6 +119,87 @@ def make_dp_train_steps(cfg: TrainConfig, mesh, policy: Policy | None = None,
     gen_step = _wrap_dp(cfg, mesh, _make_branch(cfg_sp, policy, "gen"), jit=jit)
     dis_step = _wrap_dp(cfg, mesh, _make_branch(cfg_sp, policy, "dis"), jit=jit)
     return gen_step, dis_step
+
+
+def make_dp_scan_train_step(cfg: TrainConfig, mesh, *, steps: int,
+                            policy: Policy | None = None, jit: bool = True,
+                            compiler_options: dict | None = None):
+    """The fused multi-step scan program under data parallelism: one XLA
+    dispatch runs `steps` train iterations over the mesh, gathering each
+    per-device batch from a data-axis-SHARDED HBM-resident dataset.
+
+    (ts, data_A, data_B, idx_A, idx_B, iters0) -> (ts, losses)
+      data_A/data_B: (N, H, W, 3) global arrays sharded P(data) — each
+                     device holds its own N/n_data row block (its private
+                     dataset shard, the DistributedSampler analog of ref
+                     distributed_image_translation.py:203-216, but resident
+                     in HBM with zero per-step H2D).
+      idx_A/idx_B:   (steps, global_batch) int32, sharded P(None, data) —
+                     each device's column block holds LOCAL indices into
+                     its own dataset shard (per-shard independent
+                     permutations, the unpaired-shuffle semantics).
+      iters0:        replicated int32 scalar.
+      losses:        dict of (steps,) replicated arrays (pmean'd across
+                     replicas in local-BN mode, exactly like the per-step
+                     DP path).
+
+    Semantics match driving make_dp_train_steps per step on global batches
+    assembled from the same indices (tests/test_dp_scan.py); the point is
+    what it is single-device (PERF.md: 2,993 -> 13.1k img/s): dispatch
+    amortization + zero per-step host involvement — here additionally with
+    no per-step make_array_from_process_local_data assembly.
+    """
+    cfg_sp = dataclasses.replace(cfg, axis_name=DATA_AXIS)
+    policy = policy or default_policy(cfg.precision)
+    gen = _make_branch(cfg_sp, policy, "gen")
+    dis = _make_branch(cfg_sp, policy, "dis")
+    lean = (_make_branch(cfg_sp, policy, "dis", lean=True)
+            if cfg.lean_dis else None)
+    if lean is not None and not cfg.bn_sync:
+        _lean_raw = lean
+
+        def lean(ts, A, B, rate):  # noqa: F811
+            new_ts, losses = _lean_raw(ts, A, B, rate)
+            # The lean graph's recon losses are traced CONSTANTS (zeros);
+            # under shard_map, lax.switch requires every branch's outputs
+            # to agree on which manual axes they vary over — cast them to
+            # data-varying to match the full branches (pure type-level;
+            # the values stay 0). bn_sync mode needs no cast: there every
+            # branch's losses are pmean'd inside the graph, i.e. already
+            # axis-invariant on both sides.
+            losses = dict(losses, recon_A=lax.pcast(
+                losses["recon_A"], DATA_AXIS, to="varying"),
+                recon_B=lax.pcast(losses["recon_B"], DATA_AXIS, to="varying"))
+            return new_ts, losses
+
+    multi = scan_multi_body(cfg, gen, dis, lean, steps)
+    specs = _ts_specs(cfg)
+    local_state = not cfg.bn_sync
+
+    def shard_body(ts, data_A, data_B, idx_A, idx_B, iters0):
+        if local_state:
+            ts = dict(ts, model_states=jax.tree.map(
+                lambda a: a[0], ts["model_states"]))
+        new_ts, losses = multi(ts, data_A, data_B, idx_A, idx_B, iters0)
+        if local_state:
+            new_ts = dict(new_ts, model_states=jax.tree.map(
+                lambda a: a[None], new_ts["model_states"]))
+            losses = lax.pmean(losses, DATA_AXIS)
+        return new_ts, losses
+
+    mapped = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(specs, P(DATA_AXIS), P(DATA_AXIS),
+                  P(None, DATA_AXIS), P(None, DATA_AXIS), P()),
+        out_specs=(specs, P()),
+    )
+    if jit:
+        if compiler_options is None:
+            compiler_options = env_compiler_options()
+        mapped = jax.jit(mapped, donate_argnums=(0,),
+                         compiler_options=compiler_options)
+    return mapped
 
 
 def make_dp_lean_dis_step(cfg: TrainConfig, mesh,

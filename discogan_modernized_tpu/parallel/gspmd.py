@@ -99,6 +99,15 @@ def make_gspmd_train_steps(cfg: TrainConfig, mesh, policy: Policy | None = None,
     """
     cfg_sp = dataclasses.replace(cfg, axis_name=None)
     policy = policy or default_policy(cfg.precision)
+    wrap = _make_gspmd_wrap(mesh, spatial)
+    gen_step = wrap(_make_branch(cfg_sp, policy, "gen"))
+    dis_step = wrap(_make_branch(cfg_sp, policy, "dis"))
+    return gen_step, dis_step
+
+
+def _make_gspmd_wrap(mesh, spatial: bool):
+    """The shared GSPMD step wrapper: sharding annotations, spatial latent
+    pins, per-pytree-structure jit cache, AOT .jit_for hook."""
 
     def wrap(raw_body):
         def body(ts, A, B, rate):
@@ -172,6 +181,22 @@ def make_gspmd_train_steps(cfg: TrainConfig, mesh, policy: Policy | None = None,
         step.jit_for = jit_with
         return step
 
-    gen_step = wrap(_make_branch(cfg_sp, policy, "gen"))
-    dis_step = wrap(_make_branch(cfg_sp, policy, "dis"))
-    return gen_step, dis_step
+    return wrap
+
+
+def make_gspmd_lean_dis_step(cfg: TrainConfig, mesh,
+                             policy: Policy | None = None, *,
+                             spatial: bool = False):
+    """GSPMD variant of the lean D-step (--lean_dis): same D update with
+    the ABA/BAB reconstruction forwards skipped on non-logged D
+    iterations. The wrap (shardings, latent pins, jit cache) is identical
+    to make_gspmd_train_steps' — only the branch body differs. The weight
+    trajectory is bit-identical to the full D-step (training-mode BN uses
+    batch stats; dis_loss never reads the reconstructions), recon losses
+    report 0, and callers must route logged iterations through the full
+    dis_step (train/loop.py does, via cfg.use_lean_dis). Ref analog: the
+    D-iteration graph of image_translation.py:384-390."""
+    cfg_sp = dataclasses.replace(cfg, axis_name=None)
+    policy = policy or default_policy(cfg.precision)
+    wrap = _make_gspmd_wrap(mesh, spatial)
+    return wrap(_make_branch(cfg_sp, policy, "dis", lean=True))

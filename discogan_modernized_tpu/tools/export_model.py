@@ -118,6 +118,21 @@ def parse_args(argv=None):
     return ap.parse_args(argv)
 
 
+def load_artifact_sidecar(path) -> dict | None:
+    """The exporter's ops-traceability sidecar (<artifact>.json), or None
+    when absent/unreadable. Consumers use it to cross-check what the
+    opaque StableHLO bytes actually embed (generator, direction, baked
+    precision) against their own flags."""
+    import json
+
+    p = Path(path)
+    side = p.with_suffix(p.suffix + ".json")
+    try:
+        return json.loads(side.read_text())
+    except (OSError, ValueError):
+        return None
+
+
 def main(argv=None):
     args = parse_args(argv)
     if args.batch < 0:

@@ -209,8 +209,18 @@ def make_handler(translator, args):
 
         def do_GET(self):
             if self.path == "/healthz":
+                # Artifact mode: --direction does not pick the generator
+                # (it is baked at export) — report the sidecar's recorded
+                # direction when available instead of the flag.
+                direction = args.direction
+                if getattr(args, "exported", None):
+                    from .export_model import load_artifact_sidecar
+
+                    meta = load_artifact_sidecar(args.exported)
+                    direction = ((meta or {}).get("direction")
+                                 or "baked-in-artifact")
                 self._json(200, {"status": "ok",
-                                 "direction": args.direction,
+                                 "direction": direction,
                                  "image_size": args.image_size,
                                  "exported": bool(getattr(args, "exported",
                                                           None))})

@@ -1,0 +1,461 @@
+"""Whole-train-step cost accounting (VERDICT r2 item 4).
+
+Decomposes the G-update and D-update step times at a named config
+(default: the bench headline, 64px b64 bf16) into measured components,
+all via chained-scan differencing on the real chip (the only trustworthy
+harness through this tunnel — tools/fwd_profile.py):
+
+  1. step      — the full branch step (forward + backward + Adam),
+                 state-carried chain of the REAL production body
+  2. forward   — the 8-network loss graph alone (BN bookkeeping carried;
+                 losses chained into the input so nothing DCEs)
+  3. fwd+bwd   — value_and_grad with a non-Adam 1e-30 update (keeps the
+                 whole backward live, removes optimizer HBM traffic)
+  4. adam      — the Adam update alone (moments + params, slim-aware)
+
+so  backward = (3) - (2)  and  optimizer = (1) - (3)  [cross-checked
+against (4)].
+
+It then accounts forward+backward against per-layer conv-emitter times:
+every conv/convT instance of the step graph is enumerated with its
+multiplicity (which forwards run, which backward instances need dx/dw —
+see _GEN_STEP_COUNTS below) and timed individually with the same
+harness. The remainder — step minus named conv work minus Adam — is the
+BN/elementwise/reduction residue the round-2 PERF.md named but never
+sized. Output: a table where every row is measured and the rows sum to
+the step.
+
+Run:  python -m discogan_modernized_tpu.tools.step_itemize \
+          [--image_size 64] [--batch 64] [--lean] [--slim mv]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+
+import numpy as np
+
+V5E_PEAK_FLOPS = 197e12
+
+
+def _timer(n1, n2, reps):
+    def timed(chain, *args):
+        _ = float(chain(*args, n2))  # compile + warm the LONG program
+        _ = float(chain(*args, n1))
+
+        def best_of(length):
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                _ = float(chain(*args, length))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        return (best_of(n2) - best_of(n1)) / (n2 - n1)
+
+    return timed
+
+
+# ---------------------------------------------------------------- programs
+
+def step_chain_time(cfg, which, A, B, *, n1=5, n2=55, reps=3):
+    """Chained full step (the production branch body, state carried)."""
+    import jax
+    from jax import lax
+
+    from ..core.precision import default_policy
+    from ..train.step import _make_branch, init_train_state
+
+    policy = default_policy(cfg.precision)
+    body_fn = _make_branch(cfg, policy, which)
+    ts = init_train_state(jax.random.PRNGKey(0), cfg)
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def chain(ts, A, B, length):
+        def body(ts, _):
+            new_ts, losses = body_fn(ts, A, B, 0.01)
+            return new_ts, ()
+
+        ts, _ = lax.scan(body, ts, None, length=length)
+        return jax.tree.leaves(ts["models"])[0].ravel()[0]
+
+    return _timer(n1, n2, reps)(chain, ts, A, B)
+
+
+def forward_chain_time(cfg, A, B, *, n1=5, n2=105, reps=3):
+    """Chained loss-graph forward (all 8 nets; BN state carried; losses
+    chained into the input so no network DCEs)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from ..core.precision import default_policy
+    from ..train.step import _forward, init_train_state
+
+    policy = default_policy(cfg.precision)
+    ts = init_train_state(jax.random.PRNGKey(0), cfg)
+    models, states = ts["models"], ts["model_states"]
+
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def chain(models, states, A, B, length):
+        def body(carry, _):
+            A, states = carry
+            losses, new_states = _forward(models, states, A, B,
+                                          jnp.float32(0.01), cfg, policy)
+            A2 = A + (1e-30 * (losses["gen_total"] + losses["dis_total"])
+                      ).astype(A.dtype)
+            return (A2, new_states), ()
+
+        (A, states), _ = lax.scan(body, (A, states), None, length=length)
+        return A.ravel()[0]
+
+    return _timer(n1, n2, reps)(chain, models, states, A, B)
+
+
+def grad_chain_time(cfg, which, A, B, *, n1=5, n2=55, reps=3):
+    """Chained forward+backward WITHOUT Adam: params nudged by 1e-30*g
+    (keeps every gradient live; optimizer HBM traffic excluded)."""
+    import jax
+    from jax import lax
+
+    from ..core.precision import default_policy
+    from ..train.graph import trainable_subsets
+    from ..train.step import _forward, init_train_state
+
+    policy = default_policy(cfg.precision)
+    gen_keys, dis_keys = trainable_subsets(cfg.model_arch)
+    keys = gen_keys if which == "gen" else dis_keys
+    total_key = "gen_total" if which == "gen" else "dis_total"
+    ts = init_train_state(jax.random.PRNGKey(0), cfg)
+
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def chain(models, states, A, B, length):
+        def body(carry, _):
+            models, states = carry
+            frozen = {k: v for k, v in models.items() if k not in keys}
+
+            def loss_fn(trainable):
+                m = {**frozen, **trainable}
+                losses, new_states = _forward(m, states, A, B, 0.01, cfg,
+                                              policy)
+                return losses[total_key], new_states
+
+            trainable = {k: models[k] for k in keys}
+            (_, new_states), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(trainable)
+            new_tr = jax.tree.map(
+                lambda p, g: p - (1e-30 * g).astype(p.dtype),
+                trainable, grads)
+            return ({**frozen, **new_tr}, new_states), ()
+
+        (models, _), _ = lax.scan(body, (models, ts["model_states"]),
+                                  None, length=length)
+        return jax.tree.leaves(models)[0].ravel()[0]
+
+    return _timer(n1, n2, reps)(chain, ts["models"], ts["model_states"],
+                                A, B)
+
+
+def adam_chain_time(cfg, which, *, n1=10, n2=210, reps=3):
+    """Chained Adam update alone (grads derived from params with one
+    cheap elementwise op — approximates the hot-gradient read)."""
+    import jax
+    from jax import lax
+
+    from ..train.graph import trainable_subsets
+    from ..train.optim import adam_update
+    from ..train.step import init_train_state
+
+    gen_keys, dis_keys = trainable_subsets(cfg.model_arch)
+    keys = gen_keys if which == "gen" else dis_keys
+    opt_key = "opt_gen" if which == "gen" else "opt_dis"
+    ts = init_train_state(jax.random.PRNGKey(0), cfg)
+    trainable = {k: ts["models"][k] for k in keys}
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def chain(trainable, opt, length):
+        def body(carry, _):
+            tr, opt = carry
+            grads = jax.tree.map(lambda p: p * 1e-8, tr)
+            new_tr, new_opt = adam_update(
+                tr, grads, opt, lr=cfg.learning_rate, beta1=cfg.beta1,
+                beta2=cfg.beta2, weight_decay=cfg.weight_decay)
+            return (new_tr, new_opt), ()
+
+        (tr, _), _ = lax.scan(body, (trainable, opt), None, length=length)
+        return jax.tree.leaves(tr)[0].ravel()[0]
+
+    return _timer(n1, n2, reps)(chain, trainable, ts[opt_key])
+
+
+# --------------------------------------------------------- conv accounting
+
+def _gen_layers(image_size):
+    """Distinct conv ops in ONE generator forward: (name, kind, in_size,
+    cin, cout). kind: conv (k4s2p1) / latent (k4 VALID) / convt (k4s2p1
+    transpose) / latent_t (k4 VALID transpose) / head (subpixel k2 dense)."""
+    from ..models.geometry import encoder_channels, LATENT_CH
+
+    chans = encoder_channels(image_size)
+    rows = []
+    size, cin = image_size, 3
+    for i, c in enumerate(chans):
+        rows.append((f"enc{i} {size}px {cin}->{c}", "conv", size, cin, c))
+        size //= 2
+        cin = c
+    rows.append((f"latent {size}px {cin}->{LATENT_CH}", "latent", size,
+                 cin, LATENT_CH))
+    # decoder mirrors
+    dec_in = LATENT_CH
+    rev = list(reversed(chans))
+    rows.append((f"dec0 1px {dec_in}->{rev[0]}", "latent_t", 1, dec_in,
+                 rev[0]))
+    size = image_size // (2 ** len(chans))  # 4 at 64px
+    cin = rev[0]
+    for i, c in enumerate(rev[1:], 1):
+        rows.append((f"dec{i} {size}px {cin}->{c}", "convt", size, cin, c))
+        size *= 2
+        cin = c
+    rows.append((f"head {size}px {cin}->3", "head", size, cin, 3))
+    return rows
+
+
+def _dis_layers(image_size):
+    from ..models.geometry import encoder_channels
+
+    chans = encoder_channels(image_size)
+    rows = []
+    size, cin = image_size, 3
+    for i, c in enumerate(chans):
+        rows.append((f"dis{i} {size}px {cin}->{c}", "conv", size, cin, c))
+        size //= 2
+        cin = c
+    rows.append((f"dis_head {size}px {cin}->1", "latent", size, cin, 1))
+    return rows
+
+
+def _op_fns(kind, size, cin, cout, dtype):
+    """(fwd_fn, x, w) for one layer op — the production lowering
+    (ops/conv.py: subpixel head, dilated convT elsewhere)."""
+    import jax.numpy as jnp
+    from ..ops import conv as C
+
+    rng = np.random.RandomState(0)
+
+    if kind == "conv":
+        w = jnp.asarray(rng.randn(4, 4, cin, cout) * 0.05, dtype)
+
+        def fwd(x, w):
+            return C.conv2d(x, w, stride=2, padding=1)
+    elif kind == "latent":
+        w = jnp.asarray(rng.randn(size, size, cin, cout) * 0.05, dtype)
+
+        def fwd(x, w):
+            return C.conv2d(x, w, stride=1, padding=0)
+    elif kind == "latent_t":
+        w = jnp.asarray(rng.randn(4, 4, cout, cin) * 0.05, dtype)
+
+        def fwd(x, w):
+            return C.conv_transpose2d(x, w, stride=1, padding=0)
+    elif kind == "convt":
+        w = jnp.asarray(rng.randn(4, 4, cout, cin) * 0.05, dtype)
+
+        def fwd(x, w):
+            return C.conv_transpose2d(x, w, stride=2, padding=1)
+    elif kind == "head":
+        w = jnp.asarray(rng.randn(4, 4, cout, cin) * 0.05, dtype)
+
+        def fwd(x, w):
+            return C.conv_transpose2d(x, w, stride=2, padding=1)
+    else:
+        raise ValueError(kind)
+    return fwd
+
+
+def time_layer_modes(kind, size, cin, cout, batch, dtype, timed):
+    """Measured (fwd_us, dx_us, dw_us) for one layer op."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    fwd = _op_fns(kind, size, cin, cout, dtype)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(batch, size, size, cin), dtype)
+    if kind == "latent":
+        w_shape = (size, size, cin, cout)
+    elif kind in ("convt", "latent_t", "head"):
+        w_shape = (4, 4, cout, cin)
+    else:
+        w_shape = (4, 4, cin, cout)
+    w = jnp.asarray(rng.randn(*w_shape) * 0.05, dtype)
+    y = fwd(x, w)
+    dy = jnp.asarray(rng.randn(*y.shape), y.dtype)
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def chain_fwd(x, w, length):
+        def body(h, _):
+            out = fwd(h, w)
+            return h + (1e-30 * jnp.max(out.astype(jnp.float32))
+                        ).astype(h.dtype), ()
+
+        h, _ = lax.scan(body, x, None, length=length)
+        return jnp.sum(h.astype(jnp.float32))
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def chain_dx(x, w, dy, length):
+        # dx of a linear conv is input-independent — chain through the
+        # WEIGHTS, else XLA hoists the computation (PERF.md harness
+        # lesson: observed 1850 "TF/s").
+        def body(w, _):
+            _, vjp = jax.vjp(lambda x_: fwd(x_, w), x)
+            dx = vjp(dy)[0]
+            return w + (1e-30 * jnp.max(dx.astype(jnp.float32))
+                        ).astype(w.dtype), ()
+
+        w, _ = lax.scan(body, w, None, length=length)
+        return jnp.sum(w.astype(jnp.float32))
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def chain_dw(x, w, dy, length):
+        def body(x, _):
+            _, vjp = jax.vjp(lambda w_: fwd(x, w_), w)
+            dw = vjp(dy)[0]
+            return x + (1e-30 * jnp.max(dw.astype(jnp.float32))
+                        ).astype(x.dtype), ()
+
+        x, _ = lax.scan(body, x, None, length=length)
+        return jnp.sum(x.astype(jnp.float32))
+
+    return (timed(chain_fwd, x, w) * 1e6,
+            timed(chain_dx, x, w, dy) * 1e6,
+            timed(chain_dw, x, w, dy) * 1e6)
+
+
+def conv_accounting(image_size, batch, dtype, *, n1=20, n2=220, reps=3):
+    """Per-layer measured times x step-graph multiplicities.
+
+    G-step multiplicities (model_arch=discogan, 64px-class, remat off):
+      forwards: 4 generator + 4 discriminator instances.
+      backward: through each of the 4 gen forwards — dw on every layer;
+        dx on every layer EXCEPT enc0 of the two FIRST-stage forwards
+        (their input images are constants; the two second-stage
+        ABA/BAB forwards do need enc0 dx, into AB/BA). Through the two
+        FAKE D forwards — dx only (D params frozen; real-D forwards get
+        no backward at all: nothing upstream requires grad).
+    D-step (lean) multiplicities:
+      forwards: 2 generator + 4 discriminator instances.
+      backward: dw on every D layer x4; dx on every D layer except
+        dis0 x4 (inputs are constants/stop-gradient fakes); no
+        generator backward.
+    """
+    timed = _timer(n1, n2, reps)
+    gen_rows = _gen_layers(image_size)
+    dis_rows = _dis_layers(image_size)
+
+    measured = {}
+    for (name, kind, size, cin, cout) in gen_rows + dis_rows:
+        measured[name] = time_layer_modes(kind, size, cin, cout, batch,
+                                          dtype, timed)
+        print(json.dumps({"layer": name,
+                          "fwd_us": round(measured[name][0], 1),
+                          "dx_us": round(measured[name][1], 1),
+                          "dw_us": round(measured[name][2], 1)}),
+              flush=True)
+
+    def total(rows, *, fwd_n, dx_n, dw_n, enc0_dx_n=None):
+        t = 0.0
+        for i, (name, kind, *_rest) in enumerate(rows):
+            f, dx, dw = measured[name]
+            dxn = dx_n if not (i == 0 and enc0_dx_n is not None) \
+                else enc0_dx_n
+            t += fwd_n * f + dxn * dx + dw_n * dw
+        return t
+
+    g_step_us = (
+        total(gen_rows, fwd_n=4, dx_n=4, dw_n=4, enc0_dx_n=2)
+        + total(dis_rows, fwd_n=4, dx_n=2, dw_n=0)
+    )
+    d_step_us = (
+        total(gen_rows, fwd_n=2, dx_n=0, dw_n=0)
+        + total(dis_rows, fwd_n=4, dx_n=4, dw_n=4, enc0_dx_n=0)
+    )
+    fwd_only_us = total(gen_rows, fwd_n=4, dx_n=0, dw_n=0) + \
+        total(dis_rows, fwd_n=4, dx_n=0, dw_n=0)
+    return {"gen_conv_us": g_step_us, "dis_conv_us": d_step_us,
+            "fwd_conv_us": fwd_only_us, "per_layer": {
+                k: tuple(round(v, 1) for v in vs)
+                for k, vs in measured.items()}}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--image_size", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--slim", type=str, default="mv")
+    ap.add_argument("--lean", action="store_true", default=True)
+    ap.add_argument("--skip_layers", action="store_true",
+                    help="only the 4 program-level chains")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from ..core.precision import default_policy
+    from ..train.step import TrainConfig
+
+    cfg = TrainConfig(image_size=args.image_size, model_arch="discogan",
+                      slim_state=args.slim, lean_dis=args.lean)
+    policy = default_policy(cfg.precision)
+    rng = np.random.RandomState(0)
+    A = jnp.asarray(rng.rand(args.batch, args.image_size, args.image_size,
+                             3), jnp.float32)
+    B = jnp.asarray(rng.rand(args.batch, args.image_size, args.image_size,
+                             3), jnp.float32)
+
+    out = {}
+    out["t_fwd_ms"] = forward_chain_time(cfg, A, B) * 1e3
+    print(json.dumps({"t_fwd_ms": round(out["t_fwd_ms"], 3)}), flush=True)
+    for which in ("gen", "dis"):
+        t_step = step_chain_time(cfg, which, A, B) * 1e3
+        t_grad = grad_chain_time(cfg, which, A, B) * 1e3
+        t_adam = adam_chain_time(cfg, which) * 1e3
+        out[f"t_step_{which}_ms"] = t_step
+        out[f"t_grad_{which}_ms"] = t_grad
+        out[f"t_adam_{which}_ms"] = t_adam
+        print(json.dumps({f"t_step_{which}_ms": round(t_step, 3),
+                          f"t_grad_{which}_ms": round(t_grad, 3),
+                          f"t_adam_{which}_ms": round(t_adam, 3),
+                          f"bwd_{which}_ms": round(t_grad - out["t_fwd_ms"],
+                                                   3),
+                          f"opt_{which}_ms": round(t_step - t_grad, 3)}),
+              flush=True)
+
+    if not args.skip_layers:
+        acc = conv_accounting(args.image_size, args.batch,
+                              policy.compute_dtype)
+        out.update(acc)
+        for which, conv_key in (("gen", "gen_conv_us"),
+                                ("dis", "dis_conv_us")):
+            step_ms = out[f"t_step_{which}_ms"]
+            conv_ms = acc[conv_key] / 1e3
+            adam_ms = out[f"t_step_{which}_ms"] - out[f"t_grad_{which}_ms"]
+            residue = step_ms - conv_ms - adam_ms
+            print(json.dumps({
+                "summary": which,
+                "step_ms": round(step_ms, 3),
+                "conv_emitter_ms": round(conv_ms, 3),
+                "optimizer_ms": round(adam_ms, 3),
+                "bn_elementwise_residue_ms": round(residue, 3),
+                "conv_share": round(conv_ms / step_ms, 3),
+                "residue_share": round(residue / step_ms, 3)}), flush=True)
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -132,19 +132,49 @@ def save_train_state(model_path, ts, iters: int, meta: dict | None = None,
     if backend == "orbax":
         import orbax.checkpoint as ocp
 
+        # Multi-host: orbax saves are COLLECTIVE — its internal
+        # sync_global_processes barriers require EVERY process to enter
+        # save() (a process-0-only call deadlocks the fleet: the other
+        # tasks never join the barrier and the Gloo key-value lookups time
+        # out — observed in tests/test_multihost.py). The surrounding
+        # filesystem mutations (temp-dir cleanup, swap, meta) stay
+        # primary-only, fenced so no process can race them.
+        multiproc = jax.process_count() > 1
+        primary = jax.process_index() == 0
+
+        def _fence(tag):
+            if multiproc:
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices(
+                    f"discogan_ckpt_{tag}_{iters}")
+
         ckptr = ocp.StandardCheckpointer()
         ckpt_dir = (model_path / "train_state_orbax").absolute()
         tmp_dir = (model_path / "train_state_orbax.new").absolute()
-        if tmp_dir.exists():
-            shutil.rmtree(tmp_dir)
+        if primary and tmp_dir.exists():
+            if not ckpt_dir.exists():
+                # A previous crash landed between its rmtree and rename:
+                # the fully-written .new dir is the ONLY checkpoint.
+                # Promote it before reusing the temp name — rmtree'ing it
+                # here would leave a second crash during this save with
+                # no checkpoint at all.
+                os.rename(tmp_dir, ckpt_dir)
+            else:
+                shutil.rmtree(tmp_dir)
+        _fence("pre")
         ckptr.save(tmp_dir, ts)
         ckptr.wait_until_finished()
         # Swap: the only non-atomic window is between rmtree and rename;
         # load_train_state falls back to the .new dir if the final one
         # vanished there.
-        if ckpt_dir.exists():
-            shutil.rmtree(ckpt_dir)
-        os.rename(tmp_dir, ckpt_dir)
+        if primary:
+            if ckpt_dir.exists():
+                shutil.rmtree(ckpt_dir)
+            os.rename(tmp_dir, ckpt_dir)
+        _fence("post")
+        if not primary:
+            return  # meta is primary-owned I/O
     else:
         leaves, treedef = jax.tree.flatten(ts)
 
@@ -180,11 +210,26 @@ def load_train_state(model_path, ts_template):
         ckpt_dir = (model_path / "train_state_orbax").absolute()
         if not ckpt_dir.exists():
             # A crash between save_train_state's rmtree and rename leaves
-            # only the fully-written .new dir — recover from it.
+            # only the fully-written .new dir — recover from it, and
+            # PROMOTE it to the final name so a later save cannot rmtree
+            # the sole surviving checkpoint while reusing the temp name.
             new_dir = (model_path / "train_state_orbax.new").absolute()
             if new_dir.exists():
-                ckpt_dir = new_dir
+                import os
+
+                try:
+                    os.rename(new_dir, ckpt_dir)
+                except OSError:
+                    ckpt_dir = new_dir  # read-only fs: restore in place
         ts = ckptr.restore(ckpt_dir, ts_template)
+        # Normalize to HOST arrays like the npz branch returns: orbax
+        # hands back COMMITTED per-device jax.Arrays, which a multi-host
+        # mesh jit refuses to auto-reshard ("incompatible devices") —
+        # the caller re-places the state (replicate/place_train_state)
+        # exactly as it does a fresh init. np.asarray preserves bf16
+        # (ml_dtypes) leaves.
+        ts = jax.tree.map(
+            lambda a: np.asarray(a) if isinstance(a, jax.Array) else a, ts)
         return ts, int(meta["iters"])
     with np.load(model_path / "train_state.npz") as z:
         leaves_t, treedef = jax.tree.flatten(ts_template)

@@ -92,7 +92,37 @@ def config_from_args(args, angle_variant: bool) -> TrainConfig:
     )
 
 
+_UNSET = object()
+
+
 def run_training(args, *, angle_variant: bool = False, distributed: bool = False):
+    """Thin wrapper around the training engine that owns the process-level
+    env knobs: --xla_copts KEY=VAL,... publishes to DISCOGAN_XLA_COPTS
+    (read lazily by every step builder, including scan programs built
+    mid-run), and is restored on EVERY exit path — a leaked value would
+    silently apply compiler options to later run_training calls in the
+    same process (HP-search driver, tests) and to child processes."""
+    import os
+
+    prev_copts = _UNSET
+    if getattr(args, "xla_copts", None):
+        from .step import env_compiler_options
+
+        prev_copts = os.environ.get("DISCOGAN_XLA_COPTS")
+        os.environ["DISCOGAN_XLA_COPTS"] = args.xla_copts
+        env_compiler_options()  # raises ValueError on malformed entries
+    try:
+        return _run_training(args, angle_variant=angle_variant,
+                             distributed=distributed)
+    finally:
+        if prev_copts is not _UNSET:
+            if prev_copts is None:
+                os.environ.pop("DISCOGAN_XLA_COPTS", None)
+            else:
+                os.environ["DISCOGAN_XLA_COPTS"] = prev_copts
+
+
+def _run_training(args, *, angle_variant: bool = False, distributed: bool = False):
     import os
 
     import jax
@@ -131,15 +161,6 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
     if getattr(args, "debug", False):
         jax.config.update("jax_debug_nans", True)
         print("디버그 모드: NaN/Inf 발생 시 즉시 중단")
-
-    # --xla_copts KEY=VAL,...: publish to the env knob the step builders
-    # (and parallel wrappers) read, validating the syntax up front so a
-    # typo fails here, not minutes into a remote compile.
-    if getattr(args, "xla_copts", None):
-        os.environ["DISCOGAN_XLA_COPTS"] = args.xla_copts
-        from .step import env_compiler_options
-
-        env_compiler_options()  # raises ValueError on malformed entries
 
     # Multi-host slice: TPU-runtime rendezvous replaces the reference's
     # MASTER_ADDR/PORT + NCCL init (distributed_image_translation.py:26-40).
@@ -263,11 +284,10 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
 
             lean_dis_step = make_dp_lean_dis_step(cfg, mesh)
         elif distributed:
-            import dataclasses as _dc
+            from ..parallel import make_gspmd_lean_dis_step
 
-            print("경고: --lean_dis 는 gspmd/spatial 모드에서 지원되지 "
-                  "않아 무시됩니다")
-            cfg = _dc.replace(cfg, lean_dis=False)
+            lean_dis_step = make_gspmd_lean_dis_step(
+                cfg, mesh, spatial=(parallel_mode == "spatial"))
         else:
             from .step import make_lean_dis_step
 
@@ -304,6 +324,13 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
     logger = TrainingLogger(result_path / "training_log.txt", timestamp,
                             args.task_name, args.model_arch, args.batch_size,
                             args.learning_rate) if is_main else None
+
+    ckpt_backend = getattr(args, "ckpt_backend", "npz")
+    # Multi-host orbax checkpoints are COLLECTIVE: every process must
+    # enter save_train_state (orbax's internal barriers; the primary does
+    # the actual filesystem swap — train/checkpoint.py). npz and the
+    # reference .pth layout stay process-0-only I/O.
+    ckpt_all_procs = n_proc > 1 and ckpt_backend == "orbax"
 
     def hbm_sample(iters):
         """Append per-device HBM usage to hbm_telemetry.jsonl (sidecar —
@@ -433,7 +460,28 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
         # iterations so every cadence (and the training_log contract, which
         # reads per-iteration losses out of the stacked result) is preserved.
         steps_per_call = getattr(args, "steps_per_call", None)
-        scan_eligible = mesh is None and n_proc == 1 and loader.device_cache
+        dp_scan = False
+        if mesh is None:
+            scan_eligible = n_proc == 1 and loader.device_cache
+        elif parallel_mode == "dp":
+            # Round-3: the fast input path under data parallelism. The
+            # decoded dataset is SHARDED over the mesh's data axis (each
+            # device pins its private row block — the DistributedSampler
+            # analog, ref distributed_image_translation.py:203-216) and
+            # the fused multi-step scan runs inside shard_map
+            # (parallel/dp.py make_dp_scan_train_step) — the same
+            # mechanisms that took the single-device path from 124.6 to
+            # 16.7k img/s (PERF.md), previously host-fed under DP.
+            from ..core.mesh import DATA_AXIS
+
+            n_local_sh = max(1, mesh.shape[DATA_AXIS] // n_proc)
+            dp_scan = (not getattr(args, "no_device_cache", False)
+                       and os.environ.get("DISCOGAN_DEVICE_CACHE", "1") != "0"
+                       and args.batch_size % n_local_sh == 0
+                       and loader._fits_device_budget(n_shards=n_local_sh))
+            scan_eligible = dp_scan
+        else:  # gspmd/spatial: model-axis sharding not wired into the scan
+            scan_eligible = False
         if steps_per_call is None:
             # Auto: fuse steps only at small image sizes. At >= 256px a step
             # is 100-300 ms, so dispatch amortization is worth ~1% while the
@@ -447,7 +495,13 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
 
             def scan_prog(k):
                 if k not in scan_progs:
-                    scan_progs[k] = make_scan_train_step(cfg, steps=k)
+                    if dp_scan:
+                        from ..parallel import make_dp_scan_train_step
+
+                        scan_progs[k] = make_dp_scan_train_step(
+                            cfg, mesh, steps=k)
+                    else:
+                        scan_progs[k] = make_scan_train_step(cfg, steps=k)
                 return scan_progs[k]
 
             # Probe-compile with ABSTRACT args before building the HBM
@@ -460,7 +514,10 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
             # user forced --steps_per_call) — small sizes never compile-OOM
             # and would pay the probe as a duplicate compile on fast-compile
             # backends (CPU tests fall under the 1s persistent-cache floor).
-            if args.image_size >= 256:
+            # DP-scan skips the probe: its abstract avals would need mesh
+            # shardings; the runtime try/except fallback below covers it
+            # (donated buffers are untouched on a compile failure).
+            if args.image_size >= 256 and not dp_scan:
                 sds = jax.ShapeDtypeStruct
                 nA, nB = len(loader.data_A), len(loader.data_B)
                 sz, bs = args.image_size, args.batch_size
@@ -488,16 +545,44 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
                     scan_eligible = False
 
         if steps_per_call > 1 and scan_eligible:
-            dev_A, dev_B = loader.device_data()
+            if dp_scan:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                from ..core.mesh import DATA_AXIS
+
+                dev_A, dev_B, L_A, L_B = loader.device_data_sharded(mesh)
+                idx_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+
+                def to_idx(block):
+                    # (k, local_batch) -> global (k, global_batch) sharded
+                    # P(None, data); each device's column block holds LOCAL
+                    # indices into its own dataset shard.
+                    return jax.make_array_from_process_local_data(
+                        idx_sharding, np.ascontiguousarray(block, np.int32))
+
+                def epoch_rows():
+                    return loader.sharded_epoch_indices(
+                        mesh, args.batch_size, n_batches, L_A, L_B)
+            else:
+                dev_A, dev_B = loader.device_data()
+
+                def to_idx(block):
+                    return jnp.asarray(block, jnp.int32)
+
+                def epoch_rows():
+                    pa, pb = loader.epoch_perms()
+                    bsz = args.batch_size
+                    ia = np.stack([pa[i * bsz:(i + 1) * bsz]
+                                   for i in range(n_batches)])
+                    ib = np.stack([pb[i * bsz:(i + 1) * bsz]
+                                   for i in range(n_batches)])
+                    return ia, ib
 
             def index_stream():
                 skip = skip_batches
                 for _ in range(start_epoch, args.epochs):
-                    pa, pb = loader.epoch_perms()
-                    bsz = args.batch_size
+                    ia, ib = epoch_rows()
                     for i in range(skip, n_batches):
-                        yield (pa[i * bsz:(i + 1) * bsz],
-                               pb[i * bsz:(i + 1) * bsz])
+                        yield ia[i], ib[i]
                     skip = 0
 
             stream = index_stream()
@@ -515,8 +600,7 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
                 ia, ib = ia[:, 0], ia[:, 1]
                 try:
                     ts, losses = scan_prog(k)(
-                        ts, dev_A, dev_B,
-                        jnp.asarray(ia, jnp.int32), jnp.asarray(ib, jnp.int32),
+                        ts, dev_A, dev_B, to_idx(ia), to_idx(ib),
                         jnp.int32(iters))
                 except Exception as e:
                     # Backend compile limits: the fused-scan program at large
@@ -575,25 +659,36 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
                 last = iters - 1
                 if last % args.image_save_interval == 0 and is_main:
                     new_states = dump_samples(last)
-                    ts = dict(ts, model_states=new_states)
-                if last % args.model_save_interval == 0 and is_main:
-                    hbm_sample(last)
-                    save_reference_layout(model_path, ts, last)
-                    save_train_state(model_path, ts, last,
+                    if mesh is None:
+                        # DP keeps per-replica BN state sharded on the
+                        # mesh; like the per-step loop, sample-dump stat
+                        # advances are not threaded back there.
+                        ts = dict(ts, model_states=new_states)
+                if last % args.model_save_interval == 0 \
+                        and (is_main or ckpt_all_procs):
+                    if is_main:
+                        hbm_sample(last)
+                    view = single_view(ts)
+                    if is_main:
+                        save_reference_layout(model_path, view, last)
+                    save_train_state(model_path, view, last,
                                      {"task": args.task_name,
                                       "arch": args.model_arch},
-                                     backend=getattr(args, "ckpt_backend", "npz"))
+                                     backend=ckpt_backend)
                 if prog:
                     prog.update(k)
                 if preempted["flag"]:
-                    save_train_state(model_path, ts, iters,
-                                     {"task": args.task_name,
-                                      "arch": args.model_arch,
-                                      "preempted": True},
-                                     backend=getattr(args, "ckpt_backend", "npz"))
-                    save_reference_layout(model_path, ts, iters)
-                    print(f"SIGTERM: 학습 상태 저장 후 종료 (iter {iters}) — "
-                          f"--resume {model_path} 로 재개")
+                    view = single_view(ts)
+                    if is_main or ckpt_all_procs:
+                        save_train_state(model_path, view, iters,
+                                         {"task": args.task_name,
+                                          "arch": args.model_arch,
+                                          "preempted": True},
+                                         backend=ckpt_backend)
+                    if is_main:
+                        save_reference_layout(model_path, view, iters)
+                        print(f"SIGTERM: 학습 상태 저장 후 종료 (iter {iters}) — "
+                              f"--resume {model_path} 로 재개")
                     if old_handler is not None:
                         signal.signal(signal.SIGTERM, old_handler)
                     profiler.stop()
@@ -602,12 +697,15 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
                 if prog:
                     prog.close()
                 profiler.stop()
-                if is_main:
-                    save_reference_layout(model_path, ts, "final")
-                    save_train_state(model_path, ts, iters,
+                if is_main or ckpt_all_procs:
+                    view = single_view(ts)
+                    if is_main:
+                        save_reference_layout(model_path, view, "final")
+                    save_train_state(model_path, view, iters,
                                      {"task": args.task_name,
                                       "arch": args.model_arch},
-                                     backend=getattr(args, "ckpt_backend", "npz"))
+                                     backend=ckpt_backend)
+                if is_main:
                     dt = time.time() - t_start
                     if dt > 0 and iters > start_iters:
                         print(f"Throughput: "
@@ -661,36 +759,43 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
                     new_states = dump_samples(iters)
                     if mesh is None:
                         ts = dict(ts, model_states=new_states)
-                if iters % args.model_save_interval == 0 and is_main:
-                    hbm_sample(iters)
+                if iters % args.model_save_interval == 0 \
+                        and (is_main or ckpt_all_procs):
+                    if is_main:
+                        hbm_sample(iters)
                     view = single_view(ts)
-                    save_reference_layout(model_path, view, iters)
+                    if is_main:
+                        save_reference_layout(model_path, view, iters)
                     save_train_state(model_path, view, iters,
                                      {"task": args.task_name, "arch": args.model_arch},
-                                     backend=getattr(args, "ckpt_backend", "npz"))
+                                     backend=ckpt_backend)
                 iters += 1
                 if preempted["flag"]:
                     view = single_view(ts)
-                    save_train_state(model_path, view, iters,
-                                     {"task": args.task_name,
-                                      "arch": args.model_arch,
-                                      "preempted": True},
-                                     backend=getattr(args, "ckpt_backend", "npz"))
-                    save_reference_layout(model_path, view, iters)
-                    print(f"SIGTERM: 학습 상태 저장 후 종료 (iter {iters}) — "
-                          f"--resume {model_path} 로 재개")
+                    if is_main or ckpt_all_procs:
+                        save_train_state(model_path, view, iters,
+                                         {"task": args.task_name,
+                                          "arch": args.model_arch,
+                                          "preempted": True},
+                                         backend=ckpt_backend)
+                    if is_main:
+                        save_reference_layout(model_path, view, iters)
+                        print(f"SIGTERM: 학습 상태 저장 후 종료 (iter {iters}) — "
+                              f"--resume {model_path} 로 재개")
                     if old_handler is not None:
                         signal.signal(signal.SIGTERM, old_handler)
                     profiler.stop()
                     return result_path, model_path
 
         profiler.stop()
-        if is_main:
+        if is_main or ckpt_all_procs:
             view = single_view(ts)
-            save_reference_layout(model_path, view, "final")
+            if is_main:
+                save_reference_layout(model_path, view, "final")
             save_train_state(model_path, view, iters,
                              {"task": args.task_name, "arch": args.model_arch},
-                             backend=getattr(args, "ckpt_backend", "npz"))
+                             backend=ckpt_backend)
+        if is_main:
             dt = time.time() - t_start
             if dt > 0 and iters > start_iters:
                 print(f"Throughput: "

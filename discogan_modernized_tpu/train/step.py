@@ -359,13 +359,29 @@ def make_scan_train_step(cfg: TrainConfig, policy: Policy | None = None, *,
     Python-loop + H2D + kernel-launch round trip every iteration
     (image_translation.py:315-390).
     """
-    import jax.numpy as jnp
-
     policy = policy or default_policy(cfg.precision)
     gen_step = _make_branch(cfg, policy, "gen")
     dis_step = _make_branch(cfg, policy, "dis")
     lean_step = (_make_branch(cfg, policy, "dis", lean=True)
                  if cfg.lean_dis else None)
+    multi = scan_multi_body(cfg, gen_step, dis_step, lean_step, steps)
+
+    if jit:
+        if compiler_options is None:
+            compiler_options = env_compiler_options()
+        multi = jax.jit(multi, donate_argnums=(0,),
+                        compiler_options=compiler_options)
+    return multi
+
+
+def scan_multi_body(cfg: TrainConfig, gen_step, dis_step, lean_step,
+                    steps: int):
+    """The unjitted multi-step scan body shared by the single-device scan
+    program (make_scan_train_step) and the data-parallel one
+    (parallel/dp.py make_dp_scan_train_step, where the branch bodies carry
+    axis_name and this whole body runs per-device inside shard_map over
+    per-device dataset shards and local gather indices)."""
+    import jax.numpy as jnp
 
     def multi(ts, data_A, data_B, idx_A, idx_B, iters0):
         def body(ts, xs):
@@ -408,11 +424,6 @@ def make_scan_train_step(cfg: TrainConfig, policy: Policy | None = None, *,
             unroll = 1  # non-divisible trip counts stay on the plain loop
         return lax.scan(body, ts, xs, unroll=unroll)
 
-    if jit:
-        if compiler_options is None:
-            compiler_options = env_compiler_options()
-        multi = jax.jit(multi, donate_argnums=(0,),
-                        compiler_options=compiler_options)
     return multi
 
 

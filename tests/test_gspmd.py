@@ -138,3 +138,40 @@ def test_spatial_partitioning_matches_single_device(mesh):
                             + jax.tree.leaves(tss["opt_dis"]["m"]))
         ])
         assert float(mdiffs.max()) < 2e-3
+
+
+@pytest.mark.parametrize("spatial", [False, True])
+def test_gspmd_lean_dis_step_matches_full(mesh, spatial):
+    """--lean_dis under gspmd/spatial (round-3): the lean D-step's weight
+    update from a given state must be bit-identical to the full D-step's
+    (dis_loss never reads the ABA/BAB forwards; training-mode BN uses
+    batch stats) — only recon losses (reported 0) and generator BN
+    running-stat bookkeeping differ."""
+    from discogan_modernized_tpu.parallel import (
+        make_gspmd_lean_dis_step, make_gspmd_train_steps, place_train_state)
+
+    size = 32 if spatial else IMAGE_SIZE
+    cfg = TrainConfig(image_size=size, precision="f32", lean_dis=True)
+    rng = np.random.RandomState(7)
+    A = jnp.asarray(rng.rand(8, size, size, 3).astype(np.float32))
+    B = jnp.asarray(rng.rand(8, size, size, 3).astype(np.float32))
+
+    _, dis_full = make_gspmd_train_steps(cfg, mesh, F32, spatial=spatial)
+    dis_lean = make_gspmd_lean_dis_step(cfg, mesh, F32, spatial=spatial)
+
+    ts0 = init_train_state(jax.random.PRNGKey(0), cfg)
+    if not spatial:
+        ts0 = place_train_state(ts0, mesh)
+    host = jax.device_get(ts0)
+
+    ts_f, l_f = dis_full(jax.tree.map(jnp.asarray, host), A, B,
+                         jnp.float32(0.01))
+    ts_l, l_l = dis_lean(jax.tree.map(jnp.asarray, host), A, B,
+                         jnp.float32(0.01))
+
+    assert float(l_l["recon_A"]) == 0.0  # lean reports no recon losses
+    assert abs(float(l_f["dis_total"]) - float(l_l["dis_total"])) < 1e-6
+    for a, b in zip(jax.tree.leaves(ts_f["models"]),
+                    jax.tree.leaves(ts_l["models"])):
+        np.testing.assert_array_equal(np.asarray(jax.device_get(a)),
+                                      np.asarray(jax.device_get(b)))

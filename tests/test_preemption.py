@@ -9,7 +9,10 @@ import threading
 import pytest
 
 
-def test_sigterm_checkpoints_and_resumes(tmp_path):
+@pytest.mark.parametrize("backend", ["npz", "orbax"])
+def test_sigterm_checkpoints_and_resumes(tmp_path, backend):
+    if backend == "orbax":
+        pytest.importorskip("orbax.checkpoint")
     from discogan_modernized_tpu.cli.image_translation import main
 
     # Long enough run that the 4s timer fires mid-training.
@@ -21,13 +24,16 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
             "--batch_size=8", "--epochs=200", "--log_interval=1000000",
             "--image_save_interval=1000000", "--model_save_interval=1000000",
             f"--results_dir={tmp_path}/r", f"--models_dir={tmp_path}/m",
-            "--precision=f32",
+            "--precision=f32", f"--ckpt_backend={backend}",
         ])
     finally:
         timer.cancel()
 
     meta = json.loads((model_path / "train_state_meta.json").read_text())
     assert meta.get("preempted") is True
+    assert meta.get("backend") == backend
+    if backend == "orbax":
+        assert (model_path / "train_state_orbax").is_dir()
     saved_iter = meta["iters"]
     assert 0 < saved_iter < 200 * 32  # stopped mid-run
     # The reference .pth layout is also written at the preemption point.
