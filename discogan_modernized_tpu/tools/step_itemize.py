@@ -16,14 +16,15 @@ harness through this tunnel — tools/fwd_profile.py):
 so  backward = (3) - (2)  and  optimizer = (1) - (3)  [cross-checked
 against (4)].
 
-It then accounts forward+backward against per-layer conv-emitter times:
+It then accounts forward+backward against per-layer measured times:
 every conv/convT instance of the step graph is enumerated with its
 multiplicity (which forwards run, which backward instances need dx/dw —
-see _GEN_STEP_COUNTS below) and timed individually with the same
-harness. The remainder — step minus named conv work minus Adam — is the
-BN/elementwise/reduction residue the round-2 PERF.md named but never
-sized. Output: a table where every row is measured and the rows sum to
-the step.
+see conv_accounting) and timed individually with the same harness, and
+each layer's BN/activation epilogue is timed as a MARGINAL (conv+epi
+chain minus bare-conv chain, forward and full-vjp) — the
+"BN/elementwise between convs" cost the round-2 PERF.md named but never
+sized. Output: a table where every row is measured; the remaining
+residue is loss-graph ops + BN running-stat EMAs + scan bookkeeping.
 
 Run:  python -m discogan_modernized_tpu.tools.step_itemize \
           [--image_size 64] [--batch 64] [--lean] [--slim mv]
@@ -62,7 +63,11 @@ def _timer(n1, n2, reps):
 # ---------------------------------------------------------------- programs
 
 def step_chain_time(cfg, which, A, B, *, n1=5, n2=55, reps=3):
-    """Chained full step (the production branch body, state carried)."""
+    """Chained full step (the production branch body, state carried).
+
+    When cfg.lean_dis is set, the D step timed here is the LEAN branch —
+    the same program the production scan runs on non-logged D iterations
+    and the one conv_accounting's D multiplicities describe."""
     import jax
     from jax import lax
 
@@ -70,7 +75,8 @@ def step_chain_time(cfg, which, A, B, *, n1=5, n2=55, reps=3):
     from ..train.step import _make_branch, init_train_state
 
     policy = default_policy(cfg.precision)
-    body_fn = _make_branch(cfg, policy, which)
+    body_fn = _make_branch(cfg, policy, which,
+                           lean=(which == "dis" and cfg.lean_dis))
     ts = init_train_state(jax.random.PRNGKey(0), cfg)
 
     @functools.partial(jax.jit, static_argnums=(3,))
@@ -85,9 +91,10 @@ def step_chain_time(cfg, which, A, B, *, n1=5, n2=55, reps=3):
     return _timer(n1, n2, reps)(chain, ts, A, B)
 
 
-def forward_chain_time(cfg, A, B, *, n1=5, n2=105, reps=3):
-    """Chained loss-graph forward (all 8 nets; BN state carried; losses
-    chained into the input so no network DCEs)."""
+def forward_chain_time(cfg, A, B, *, dis_only=False, n1=5, n2=105, reps=3):
+    """Chained loss-graph forward (BN state carried; losses chained into
+    the input so no network DCEs). dis_only=True times the LEAN D-step
+    forward (no ABA/BAB reconstruction forwards)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -104,7 +111,8 @@ def forward_chain_time(cfg, A, B, *, n1=5, n2=105, reps=3):
         def body(carry, _):
             A, states = carry
             losses, new_states = _forward(models, states, A, B,
-                                          jnp.float32(0.01), cfg, policy)
+                                          jnp.float32(0.01), cfg, policy,
+                                          dis_only=dis_only)
             A2 = A + (1e-30 * (losses["gen_total"] + losses["dis_total"])
                       ).astype(A.dtype)
             return (A2, new_states), ()
@@ -117,7 +125,8 @@ def forward_chain_time(cfg, A, B, *, n1=5, n2=105, reps=3):
 
 def grad_chain_time(cfg, which, A, B, *, n1=5, n2=55, reps=3):
     """Chained forward+backward WITHOUT Adam: params nudged by 1e-30*g
-    (keeps every gradient live; optimizer HBM traffic excluded)."""
+    (keeps every gradient live; optimizer HBM traffic excluded). The D
+    branch honors cfg.lean_dis (same graph as step_chain_time)."""
     import jax
     from jax import lax
 
@@ -129,6 +138,7 @@ def grad_chain_time(cfg, which, A, B, *, n1=5, n2=55, reps=3):
     gen_keys, dis_keys = trainable_subsets(cfg.model_arch)
     keys = gen_keys if which == "gen" else dis_keys
     total_key = "gen_total" if which == "gen" else "dis_total"
+    dis_only = which == "dis" and cfg.lean_dis
     ts = init_train_state(jax.random.PRNGKey(0), cfg)
 
     @functools.partial(jax.jit, static_argnums=(4,))
@@ -140,7 +150,7 @@ def grad_chain_time(cfg, which, A, B, *, n1=5, n2=55, reps=3):
             def loss_fn(trainable):
                 m = {**frozen, **trainable}
                 losses, new_states = _forward(m, states, A, B, 0.01, cfg,
-                                              policy)
+                                              policy, dis_only=dis_only)
                 return losses[total_key], new_states
 
             trainable = {k: models[k] for k in keys}
@@ -195,31 +205,37 @@ def adam_chain_time(cfg, which, *, n1=10, n2=210, reps=3):
 
 def _gen_layers(image_size):
     """Distinct conv ops in ONE generator forward: (name, kind, in_size,
-    cin, cout). kind: conv (k4s2p1) / latent (k4 VALID) / convt (k4s2p1
-    transpose) / latent_t (k4 VALID transpose) / head (subpixel k2 dense)."""
+    cin, cout, epi). kind: conv (k4s2p1) / latent (k4 VALID) / convt
+    (k4s2p1 transpose) / latent_t (k4 VALID transpose) / head (subpixel k2
+    dense). epi is the production epilogue chained onto the conv output
+    (models/generator.py): lrelu / bn_lrelu / bn_relu / sigmoid."""
     from ..models.geometry import encoder_channels, LATENT_CH
 
     chans = encoder_channels(image_size)
     rows = []
     size, cin = image_size, 3
     for i, c in enumerate(chans):
-        rows.append((f"enc{i} {size}px {cin}->{c}", "conv", size, cin, c))
+        epi = "lrelu" if i == 0 else "bn_lrelu"
+        rows.append((f"enc{i} {size}px {cin}->{c}", "conv", size, cin, c,
+                     epi))
         size //= 2
         cin = c
     rows.append((f"latent {size}px {cin}->{LATENT_CH}", "latent", size,
-                 cin, LATENT_CH))
+                 cin, LATENT_CH, "bn_lrelu"))
     # decoder mirrors
     dec_in = LATENT_CH
     rev = list(reversed(chans))
     rows.append((f"dec0 1px {dec_in}->{rev[0]}", "latent_t", 1, dec_in,
-                 rev[0]))
+                 rev[0], "bn_relu"))
     size = image_size // (2 ** len(chans))  # 4 at 64px
     cin = rev[0]
     for i, c in enumerate(rev[1:], 1):
-        rows.append((f"dec{i} {size}px {cin}->{c}", "convt", size, cin, c))
+        rows.append((f"dec{i} {size}px {cin}->{c}", "convt", size, cin, c,
+                     "bn_relu"))
         size *= 2
         cin = c
-    rows.append((f"head {size}px {cin}->3", "head", size, cin, 3))
+    rows.append((f"head {size}px {cin}->3", "head", size, cin, 3,
+                 "sigmoid"))
     return rows
 
 
@@ -230,49 +246,41 @@ def _dis_layers(image_size):
     rows = []
     size, cin = image_size, 3
     for i, c in enumerate(chans):
-        rows.append((f"dis{i} {size}px {cin}->{c}", "conv", size, cin, c))
+        epi = "lrelu" if i == 0 else "bn_lrelu"
+        rows.append((f"dis{i} {size}px {cin}->{c}", "conv", size, cin, c,
+                     epi))
         size //= 2
         cin = c
-    rows.append((f"dis_head {size}px {cin}->1", "latent", size, cin, 1))
+    rows.append((f"dis_head {size}px {cin}->1", "latent", size, cin, 1,
+                 "sigmoid"))
     return rows
 
 
 def _op_fns(kind, size, cin, cout, dtype):
-    """(fwd_fn, x, w) for one layer op — the production lowering
-    (ops/conv.py: subpixel head, dilated convT elsewhere)."""
-    import jax.numpy as jnp
+    """fwd(x, w) for one layer op — the production lowering (ops/conv.py:
+    subpixel head, dilated convT elsewhere). Weights are HWIO
+    (k, k, in, out) for conv AND convT alike (ops/conv.py layout)."""
     from ..ops import conv as C
 
-    rng = np.random.RandomState(0)
-
     if kind == "conv":
-        w = jnp.asarray(rng.randn(4, 4, cin, cout) * 0.05, dtype)
-
         def fwd(x, w):
             return C.conv2d(x, w, stride=2, padding=1)
     elif kind == "latent":
-        w = jnp.asarray(rng.randn(size, size, cin, cout) * 0.05, dtype)
-
         def fwd(x, w):
             return C.conv2d(x, w, stride=1, padding=0)
     elif kind == "latent_t":
-        w = jnp.asarray(rng.randn(4, 4, cout, cin) * 0.05, dtype)
-
         def fwd(x, w):
             return C.conv_transpose2d(x, w, stride=1, padding=0)
-    elif kind == "convt":
-        w = jnp.asarray(rng.randn(4, 4, cout, cin) * 0.05, dtype)
-
-        def fwd(x, w):
-            return C.conv_transpose2d(x, w, stride=2, padding=1)
-    elif kind == "head":
-        w = jnp.asarray(rng.randn(4, 4, cout, cin) * 0.05, dtype)
-
+    elif kind in ("convt", "head"):
         def fwd(x, w):
             return C.conv_transpose2d(x, w, stride=2, padding=1)
     else:
         raise ValueError(kind)
     return fwd
+
+
+def _w_shape(kind, size, cin, cout):
+    return (size, size, cin, cout) if kind == "latent" else (4, 4, cin, cout)
 
 
 def time_layer_modes(kind, size, cin, cout, batch, dtype, timed):
@@ -284,13 +292,8 @@ def time_layer_modes(kind, size, cin, cout, batch, dtype, timed):
     fwd = _op_fns(kind, size, cin, cout, dtype)
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.rand(batch, size, size, cin), dtype)
-    if kind == "latent":
-        w_shape = (size, size, cin, cout)
-    elif kind in ("convt", "latent_t", "head"):
-        w_shape = (4, 4, cout, cin)
-    else:
-        w_shape = (4, 4, cin, cout)
-    w = jnp.asarray(rng.randn(*w_shape) * 0.05, dtype)
+    w = jnp.asarray(rng.randn(*_w_shape(kind, size, cin, cout)) * 0.05,
+                    dtype)
     y = fwd(x, w)
     dy = jnp.asarray(rng.randn(*y.shape), y.dtype)
 
@@ -334,6 +337,129 @@ def time_layer_modes(kind, size, cin, cout, batch, dtype, timed):
             timed(chain_dw, x, w, dy) * 1e6)
 
 
+def _epi_apply(epi, dtype):
+    """The production epilogue as a pure fn of (h, scale, bias): BN in
+    training mode with the one-pass f32 stats exactly as ops/batchnorm.py
+    (the running-stat EMA update — two length-C vector ops — is excluded;
+    it lands in the residue), then the layer's activation
+    (models/generator.py / models/discriminator.py)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from ..ops.activations import leaky_relu, relu, sigmoid
+
+    def bn(h, scale, bias):
+        x32 = h.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(0, 1, 2))
+        sq = jnp.mean(jnp.square(x32), axis=(0, 1, 2))
+        var = jnp.maximum(sq - jnp.square(mean), 0.0)
+        inv = lax.rsqrt(var + 1e-5)
+        s = scale.astype(jnp.float32) * inv
+        y = x32 * s + (bias.astype(jnp.float32) - mean * s)
+        return y.astype(dtype)
+
+    if epi == "lrelu":
+        def f(h, scale, bias):
+            return leaky_relu(h, 0.2)
+    elif epi == "bn_lrelu":
+        def f(h, scale, bias):
+            return leaky_relu(bn(h, scale, bias), 0.2)
+    elif epi == "bn_relu":
+        def f(h, scale, bias):
+            return relu(bn(h, scale, bias))
+    elif epi == "sigmoid":
+        def f(h, scale, bias):
+            return sigmoid(h.astype(jnp.float32))
+    else:
+        raise ValueError(epi)
+    return f
+
+
+def time_layer_epilogue(kind, size, cin, cout, batch, dtype, epi, timed):
+    """Measured (epi_fwd_us, epi_bwd_us): the marginal cost of the
+    production BN/activation epilogue over the bare conv, forward and
+    backward.
+
+    Four chains — bare fwd, conv+epi fwd, bare fwd+full-vjp,
+    conv+epi fwd+full-vjp. BOTH vjp chains keep the primal output live
+    (chained like the cotangents), so each includes exactly one forward
+    and the differences isolate the epilogue:
+        epi_fwd = t(comp_fwd) - t(bare_fwd)
+        epi_bwd = [t(comp_vjp) - t(bare_vjp)] - epi_fwd
+    Every differentiated operand is carried through the scan so nothing
+    hoists (PERF.md harness lessons: conv dx is input-independent — chain
+    it into the weights; dw is weight-independent — chain it into x)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    fwd = _op_fns(kind, size, cin, cout, dtype)
+    epi_fn = _epi_apply(epi, dtype)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(batch, size, size, cin), dtype)
+    w = jnp.asarray(rng.randn(*_w_shape(kind, size, cin, cout)) * 0.05,
+                    dtype)
+    scale = jnp.ones((cout,), jnp.float32)
+    bias = jnp.zeros((cout,), jnp.float32)
+
+    def bare(x, w, scale, bias):
+        return fwd(x, w)
+
+    def comp(x, w, scale, bias):
+        return epi_fn(fwd(x, w), scale, bias)
+
+    def make_chain_fwd(f):
+        @functools.partial(jax.jit, static_argnums=(4,))
+        def chain(x, w, scale, bias, length):
+            def body(h, _):
+                out = f(h, w, scale, bias)
+                return h + (1e-30 * jnp.max(out.astype(jnp.float32))
+                            ).astype(h.dtype), ()
+
+            h, _ = lax.scan(body, x, None, length=length)
+            return jnp.sum(h.astype(jnp.float32))
+
+        return chain
+
+    def make_chain_vjp(f, dy):
+        @functools.partial(jax.jit, static_argnums=(4,))
+        def chain(x, w, scale, bias, length):
+            def body(carry, _):
+                x, w, scale, bias = carry
+                out, vjp = jax.vjp(f, x, w, scale, bias)
+                dx, dw, ds, db = vjp(dy)
+                live = jnp.max(out.astype(jnp.float32))
+                x2 = x + (1e-30 * (jnp.max(dw.astype(jnp.float32)) + live)
+                          ).astype(x.dtype)
+                w2 = w + (1e-30 * jnp.max(dx.astype(jnp.float32))
+                          ).astype(w.dtype)
+                s2 = scale + 1e-30 * jnp.max(ds.astype(jnp.float32))
+                b2 = bias + 1e-30 * jnp.max(db.astype(jnp.float32))
+                return (x2, w2, s2, b2), ()
+
+            (x, w, scale, bias), _ = lax.scan(
+                body, (x, w, scale, bias), None, length=length)
+            return (x.ravel()[0].astype(jnp.float32)
+                    + w.ravel()[0].astype(jnp.float32)
+                    + scale[0] + bias[0])
+
+        return chain
+
+    y_b = bare(x, w, scale, bias)
+    dy_b = jnp.asarray(rng.randn(*y_b.shape), y_b.dtype)
+    y_c = comp(x, w, scale, bias)
+    dy_c = jnp.asarray(rng.randn(*y_c.shape), y_c.dtype)
+
+    t_bf = timed(make_chain_fwd(bare), x, w, scale, bias)
+    t_cf = timed(make_chain_fwd(comp), x, w, scale, bias)
+    t_bv = timed(make_chain_vjp(bare, dy_b), x, w, scale, bias)
+    t_cv = timed(make_chain_vjp(comp, dy_c), x, w, scale, bias)
+
+    epi_fwd = (t_cf - t_bf) * 1e6
+    epi_bwd = ((t_cv - t_bv) - (t_cf - t_bf)) * 1e6
+    return epi_fwd, epi_bwd
+
+
 def conv_accounting(image_size, batch, dtype, *, n1=20, n2=220, reps=3):
     """Per-layer measured times x step-graph multiplicities.
 
@@ -356,36 +482,49 @@ def conv_accounting(image_size, batch, dtype, *, n1=20, n2=220, reps=3):
     dis_rows = _dis_layers(image_size)
 
     measured = {}
-    for (name, kind, size, cin, cout) in gen_rows + dis_rows:
-        measured[name] = time_layer_modes(kind, size, cin, cout, batch,
-                                          dtype, timed)
-        print(json.dumps({"layer": name,
-                          "fwd_us": round(measured[name][0], 1),
-                          "dx_us": round(measured[name][1], 1),
-                          "dw_us": round(measured[name][2], 1)}),
+    for (name, kind, size, cin, cout, epi) in gen_rows + dis_rows:
+        conv_t = time_layer_modes(kind, size, cin, cout, batch, dtype,
+                                  timed)
+        epi_t = time_layer_epilogue(kind, size, cin, cout, batch, dtype,
+                                    epi, timed)
+        measured[name] = conv_t + epi_t
+        print(json.dumps({"layer": name, "epi": epi,
+                          "fwd_us": round(conv_t[0], 1),
+                          "dx_us": round(conv_t[1], 1),
+                          "dw_us": round(conv_t[2], 1),
+                          "epi_fwd_us": round(epi_t[0], 1),
+                          "epi_bwd_us": round(epi_t[1], 1)}),
               flush=True)
 
     def total(rows, *, fwd_n, dx_n, dw_n, enc0_dx_n=None):
-        t = 0.0
+        """(conv_us, epi_us) over the rows at the given multiplicities.
+        The epilogue backward runs once per backward INSTANCE — whenever
+        the layer needs dx or dw, the BN/activation vjp must first
+        produce d(conv_out) — so its count is max(dx_n, dw_n) regardless
+        of the enc0 dx exemption (first layers skip dx but keep dw)."""
+        conv_t, epi_t = 0.0, 0.0
+        bwd_n = max(dx_n, dw_n)
         for i, (name, kind, *_rest) in enumerate(rows):
-            f, dx, dw = measured[name]
+            f, dx, dw, ef, eb = measured[name]
             dxn = dx_n if not (i == 0 and enc0_dx_n is not None) \
                 else enc0_dx_n
-            t += fwd_n * f + dxn * dx + dw_n * dw
-        return t
+            conv_t += fwd_n * f + dxn * dx + dw_n * dw
+            epi_t += fwd_n * ef + bwd_n * eb
+        return conv_t, epi_t
 
-    g_step_us = (
-        total(gen_rows, fwd_n=4, dx_n=4, dw_n=4, enc0_dx_n=2)
-        + total(dis_rows, fwd_n=4, dx_n=2, dw_n=0)
-    )
-    d_step_us = (
-        total(gen_rows, fwd_n=2, dx_n=0, dw_n=0)
-        + total(dis_rows, fwd_n=4, dx_n=4, dw_n=4, enc0_dx_n=0)
-    )
-    fwd_only_us = total(gen_rows, fwd_n=4, dx_n=0, dw_n=0) + \
-        total(dis_rows, fwd_n=4, dx_n=0, dw_n=0)
-    return {"gen_conv_us": g_step_us, "dis_conv_us": d_step_us,
-            "fwd_conv_us": fwd_only_us, "per_layer": {
+    g_gen = total(gen_rows, fwd_n=4, dx_n=4, dw_n=4, enc0_dx_n=2)
+    g_dis = total(dis_rows, fwd_n=4, dx_n=2, dw_n=0)
+    d_gen = total(gen_rows, fwd_n=2, dx_n=0, dw_n=0)
+    d_dis = total(dis_rows, fwd_n=4, dx_n=4, dw_n=4, enc0_dx_n=0)
+    f_gen = total(gen_rows, fwd_n=4, dx_n=0, dw_n=0)
+    f_dis = total(dis_rows, fwd_n=4, dx_n=0, dw_n=0)
+    return {"gen_conv_us": g_gen[0] + g_dis[0],
+            "gen_epi_us": g_gen[1] + g_dis[1],
+            "dis_conv_us": d_gen[0] + d_dis[0],
+            "dis_epi_us": d_gen[1] + d_dis[1],
+            "fwd_conv_us": f_gen[0] + f_dis[0],
+            "fwd_epi_us": f_gen[1] + f_dis[1],
+            "per_layer": {
                 k: tuple(round(v, 1) for v in vs)
                 for k, vs in measured.items()}}
 
@@ -395,7 +534,8 @@ def main(argv=None):
     ap.add_argument("--image_size", type=int, default=64)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--slim", type=str, default="mv")
-    ap.add_argument("--lean", action="store_true", default=True)
+    ap.add_argument("--lean", action=argparse.BooleanOptionalAction,
+                    default=True)
     ap.add_argument("--skip_layers", action="store_true",
                     help="only the 4 program-level chains")
     args = ap.parse_args(argv)
@@ -421,7 +561,13 @@ def main(argv=None):
     out = {}
     out["t_fwd_ms"] = forward_chain_time(cfg, A, B) * 1e3
     print(json.dumps({"t_fwd_ms": round(out["t_fwd_ms"], 3)}), flush=True)
+    out["t_fwd_lean_ms"] = (forward_chain_time(cfg, A, B, dis_only=True)
+                            * 1e3 if cfg.lean_dis else out["t_fwd_ms"])
+    if cfg.lean_dis:
+        print(json.dumps({"t_fwd_lean_ms": round(out["t_fwd_lean_ms"], 3)}),
+              flush=True)
     for which in ("gen", "dis"):
+        t_fwd = out["t_fwd_ms" if which == "gen" else "t_fwd_lean_ms"]
         t_step = step_chain_time(cfg, which, A, B) * 1e3
         t_grad = grad_chain_time(cfg, which, A, B) * 1e3
         t_adam = adam_chain_time(cfg, which) * 1e3
@@ -431,8 +577,7 @@ def main(argv=None):
         print(json.dumps({f"t_step_{which}_ms": round(t_step, 3),
                           f"t_grad_{which}_ms": round(t_grad, 3),
                           f"t_adam_{which}_ms": round(t_adam, 3),
-                          f"bwd_{which}_ms": round(t_grad - out["t_fwd_ms"],
-                                                   3),
+                          f"bwd_{which}_ms": round(t_grad - t_fwd, 3),
                           f"opt_{which}_ms": round(t_step - t_grad, 3)}),
               flush=True)
 
@@ -440,20 +585,21 @@ def main(argv=None):
         acc = conv_accounting(args.image_size, args.batch,
                               policy.compute_dtype)
         out.update(acc)
-        for which, conv_key in (("gen", "gen_conv_us"),
-                                ("dis", "dis_conv_us")):
+        for which in ("gen", "dis"):
             step_ms = out[f"t_step_{which}_ms"]
-            conv_ms = acc[conv_key] / 1e3
+            conv_ms = acc[f"{which}_conv_us"] / 1e3
+            epi_ms = acc[f"{which}_epi_us"] / 1e3
             adam_ms = out[f"t_step_{which}_ms"] - out[f"t_grad_{which}_ms"]
-            residue = step_ms - conv_ms - adam_ms
+            residue = step_ms - conv_ms - epi_ms - adam_ms
             print(json.dumps({
                 "summary": which,
                 "step_ms": round(step_ms, 3),
                 "conv_emitter_ms": round(conv_ms, 3),
+                "bn_act_epilogue_ms": round(epi_ms, 3),
                 "optimizer_ms": round(adam_ms, 3),
-                "bn_elementwise_residue_ms": round(residue, 3),
-                "conv_share": round(conv_ms / step_ms, 3),
-                "residue_share": round(residue / step_ms, 3)}), flush=True)
+                "residue_ms": round(residue, 3),
+                "accounted_share": round((conv_ms + epi_ms + adam_ms)
+                                         / step_ms, 3)}), flush=True)
     return out
 
 

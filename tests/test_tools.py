@@ -220,3 +220,38 @@ def test_monitor_job_hbm_sidecar(tmp_path, monkeypatch):
     hbm = snap["jobs"][0].get("hbm")
     assert hbm is not None and hbm["iter"] == 500  # newest line wins
     assert hbm["devices"][0]["bytes_in_use"] == 8
+
+
+def test_step_itemize_chains_smoke():
+    """step_itemize's four program-level chains + the per-layer
+    conv/epilogue accounting run end-to-end (tiny geometry, CPU): every
+    measured value must be finite and the accounting keys present.
+    Timings are meaningless on CPU — this gates the harness code, which
+    otherwise only runs on the real chip (PERF.md round-3 itemization)."""
+    import jax.numpy as jnp
+
+    from discogan_modernized_tpu.tools import step_itemize as si
+    from discogan_modernized_tpu.train.step import TrainConfig
+
+    cfg = TrainConfig(image_size=8, lean_dis=True, slim_state="mv")
+    rng = np.random.RandomState(0)
+    A = jnp.asarray(rng.rand(2, 8, 8, 3), jnp.float32)
+    B = jnp.asarray(rng.rand(2, 8, 8, 3), jnp.float32)
+
+    kw = dict(n1=1, n2=3, reps=1)
+    assert np.isfinite(si.forward_chain_time(cfg, A, B, **kw))
+    assert np.isfinite(si.forward_chain_time(cfg, A, B, dis_only=True, **kw))
+    for which in ("gen", "dis"):
+        assert np.isfinite(si.step_chain_time(cfg, which, A, B, **kw))
+        assert np.isfinite(si.grad_chain_time(cfg, which, A, B, **kw))
+        assert np.isfinite(si.adam_chain_time(cfg, which, **kw))
+
+    acc = si.conv_accounting(8, 2, jnp.float32, **kw)
+    for key in ("gen_conv_us", "gen_epi_us", "dis_conv_us", "dis_epi_us",
+                "fwd_conv_us", "fwd_epi_us"):
+        assert np.isfinite(acc[key]), key
+    # 8px geometry: enc0/latent/dec0/head + dis0/dis_head = 6 layers
+    assert len(acc["per_layer"]) == 6
+    for name, vals in acc["per_layer"].items():
+        assert len(vals) == 5, name
+        assert all(np.isfinite(v) for v in vals), name
