@@ -153,19 +153,34 @@ def measure_train(image_size: int, batch: int, n_steps: int = 400,
     import jax.numpy as jnp
 
     from discogan_modernized_tpu.train import TrainConfig, init_train_state
-    from discogan_modernized_tpu.train.step import make_scan_train_step
+    from discogan_modernized_tpu.train.step import (make_scan_train_step,
+                                                    scan_variant)
 
+    cfg_kwargs.setdefault("model_arch", "discogan")
+    cfg = TrainConfig(image_size=image_size, **cfg_kwargs)
     if steps_per_call is None:
-        steps_per_call = 25 if image_size <= 128 else 5
+        # Whole G/D update periods per call, so aligned chunks run the
+        # straight-line phase program — exactly the trainer's default
+        # (train/loop.py; +7% over the per-step lax.switch body, PERF.md
+        # round 3).
+        ui = cfg.update_interval
+        steps_per_call = max(ui, (24 // ui) * ui) if image_size <= 128 else 5
     if n_data is None:  # keep the resident dataset small at large sizes
         n_data = 256 if image_size <= 128 else 2 * batch
     n_steps = (n_steps // steps_per_call) * steps_per_call or steps_per_call
     warmup = max(1, warmup // steps_per_call) * steps_per_call
 
-    cfg_kwargs.setdefault("model_arch", "discogan")
-    cfg = TrainConfig(image_size=image_size, **cfg_kwargs)
-    multi = make_scan_train_step(cfg, steps=steps_per_call,
-                                 compiler_options=compiler_options)
+    progs: dict = {}
+
+    def multi_for(it0):
+        # Same chunk planner as the trainer: phase program on aligned
+        # chunks, phase_cond when a logged-D iteration falls inside.
+        v = scan_variant(cfg, it0, steps_per_call)
+        if v not in progs:
+            progs[v] = make_scan_train_step(
+                cfg, steps=steps_per_call, variant=v,
+                compiler_options=compiler_options)
+        return progs[v]
 
     # Probe-compile with ABSTRACT arguments before allocating anything on
     # the device: at 512px b32 the scan program exceeds HBM at compile
@@ -185,7 +200,7 @@ def measure_train(image_size: int, batch: int, n_steps: int = 400,
             sds((), jnp.int32),
         )
         try:
-            multi.lower(*abstract_args).compile()
+            multi_for(0).lower(*abstract_args).compile()
         except Exception as e:
             import sys
 
@@ -210,8 +225,9 @@ def measure_train(image_size: int, batch: int, n_steps: int = 400,
                              jnp.int32)
             ib = jnp.asarray(rng.randint(0, n_data, (steps_per_call, batch)),
                              jnp.int32)
-            ts, losses = multi(ts, data_A, data_B, ia, ib,
-                               jnp.int32(it0 + c * steps_per_call))
+            i0 = it0 + c * steps_per_call
+            ts, losses = multi_for(i0)(ts, data_A, data_B, ia, ib,
+                                       jnp.int32(i0))
         # block_until_ready does not reliably block through remote-tunnel
         # backends; D2H fetches of chain-dependent values force completion.
         # Scalars only: pulling a whole parameter leaf through the tunnel
@@ -307,15 +323,22 @@ def measure_train_with_decode(image_size: int, batch: int,
         files_A, files_B = files
 
     with _scratch_cache_dir(cache_prefix):
-        from discogan_modernized_tpu.train.step import make_scan_train_step
+        from discogan_modernized_tpu.train.step import (
+            make_scan_train_step, scan_variant)
 
-        k = 8  # the CLI trainer's default steps_per_call
+        k = 24  # the CLI trainer's default steps_per_call (8 periods)
         # lean_dis + slim mv mirrors the headline (production) operating
         # point.
         cfg = TrainConfig(image_size=image_size, model_arch="discogan",
                           lean_dis=True, slim_state="mv")
         ts = init_train_state(jax.random.PRNGKey(0), cfg)
-        multi = make_scan_train_step(cfg, steps=k)
+        progs = {}
+
+        def multi_for(it0):
+            v = scan_variant(cfg, it0, k)
+            if v not in progs:
+                progs[v] = make_scan_train_step(cfg, steps=k, variant=v)
+            return progs[v]
         loader = PrefetchLoader(files_A, files_B, batch, image_size,
                                 domain_A=domains[0], domain_B=domains[1])
         if not loader.device_cache:
@@ -340,9 +363,21 @@ def measure_train_with_decode(image_size: int, batch: int,
             rng.rand(len(files_B), image_size, image_size, 3), ddt)
         da = jnp.asarray(rng.randint(0, len(files_A), (k, batch)), jnp.int32)
         db = jnp.asarray(rng.randint(0, len(files_B), (k, batch)), jnp.int32)
-        ts, losses = multi(ts, dummy_A, dummy_B, da, db, jnp.int32(0))
+        ts, losses = multi_for(0)(ts, dummy_A, dummy_B, da, db,
+                                  jnp.int32(0))
         _ = float(losses["gen_total"][-1])
-        del dummy_A, dummy_B
+        # Pre-compile the pure-phase program too (chunks past the first):
+        # its first real call must not land in the cold decode window.
+        da2 = jnp.asarray(rng.randint(0, len(files_A), (k, batch)), jnp.int32)
+        db2 = jnp.asarray(rng.randint(0, len(files_B), (k, batch)), jnp.int32)
+        dummy_A2 = jnp.asarray(
+            rng.rand(len(files_A), image_size, image_size, 3), ddt)
+        dummy_B2 = jnp.asarray(
+            rng.rand(len(files_B), image_size, image_size, 3), ddt)
+        ts, losses = multi_for(k)(ts, dummy_A2, dummy_B2, da2, db2,
+                                  jnp.int32(k))
+        _ = float(losses["gen_total"][-1])
+        del dummy_A, dummy_B, dummy_A2, dummy_B2
 
         def index_stream():
             while True:
@@ -359,8 +394,9 @@ def measure_train_with_decode(image_size: int, batch: int,
                 pairs = [next(stream) for _ in range(k)]
                 ia = jnp.asarray(np.stack([p[0] for p in pairs]), jnp.int32)
                 ib = jnp.asarray(np.stack([p[1] for p in pairs]), jnp.int32)
-                ts, losses = multi(ts, dev_A, dev_B, ia, ib,
-                                   jnp.int32(it0 + c * k))
+                i0 = it0 + c * k
+                ts, losses = multi_for(i0)(ts, dev_A, dev_B, ia, ib,
+                                           jnp.int32(i0))
             _ = float(losses["gen_total"][-1])
             _ = float(jax.tree.leaves(ts["models"]["gen_B"])[0].ravel()[0])
             return ts

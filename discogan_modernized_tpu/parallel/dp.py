@@ -123,7 +123,8 @@ def make_dp_train_steps(cfg: TrainConfig, mesh, policy: Policy | None = None,
 
 def make_dp_scan_train_step(cfg: TrainConfig, mesh, *, steps: int,
                             policy: Policy | None = None, jit: bool = True,
-                            compiler_options: dict | None = None):
+                            compiler_options: dict | None = None,
+                            variant: str = "switch"):
     """The fused multi-step scan program under data parallelism: one XLA
     dispatch runs `steps` train iterations over the mesh, gathering each
     per-device batch from a data-axis-SHARDED HBM-resident dataset.
@@ -172,7 +173,11 @@ def make_dp_scan_train_step(cfg: TrainConfig, mesh, *, steps: int,
                 recon_B=lax.pcast(losses["recon_B"], DATA_AXIS, to="varying"))
             return new_ts, losses
 
-    multi = scan_multi_body(cfg, gen, dis, lean, steps)
+    # variant: same chunk planner as single-device (train/step.py
+    # scan_variant) — "phase"/"phase_cond" run one straight-line
+    # [D, G, ..., G] period per scan step, eliminating the per-step
+    # conditional over the full carried train state.
+    multi = scan_multi_body(cfg, gen, dis, lean, steps, variant=variant)
     specs = _ts_specs(cfg)
     local_state = not cfg.bn_sync
 

@@ -42,6 +42,24 @@ import numpy as np
 V5E_PEAK_FLOPS = 197e12
 
 
+def _live_sum(tree):
+    """Sum of one element from EVERY leaf tensor, in f32.
+
+    The chain's return value must transitively depend on every tensor the
+    loop updates: returning a single leaf lets XLA dead-code the rest of
+    the loop body. Per-tensor updates with no cross-tensor coupling (the
+    Adam chains; the gen branch, whose first models leaf is an untouched
+    discriminator parameter) measured as ~0-length loops until round 3
+    caught it (the 8 us "G step"). One gathered scalar per tensor keeps
+    every update chain live for ~50 loads.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    return sum(jnp.ravel(l)[0].astype(jnp.float32)
+               for l in jax.tree.leaves(tree))
+
+
 def _timer(n1, n2, reps):
     def timed(chain, *args):
         _ = float(chain(*args, n2))  # compile + warm the LONG program
@@ -69,6 +87,7 @@ def step_chain_time(cfg, which, A, B, *, n1=5, n2=55, reps=3):
     the same program the production scan runs on non-logged D iterations
     and the one conv_accounting's D multiplicities describe."""
     import jax
+    import jax.numpy as jnp
     from jax import lax
 
     from ..core.precision import default_policy
@@ -81,12 +100,21 @@ def step_chain_time(cfg, which, A, B, *, n1=5, n2=55, reps=3):
 
     @functools.partial(jax.jit, static_argnums=(3,))
     def chain(ts, A, B, length):
-        def body(ts, _):
+        # A/B are nudged by the step's losses each iteration: with them
+        # loop-constant, the D branch's generator forwards (frozen gen
+        # params) are loop-INVARIANT and XLA hoists them out of the loop
+        # — in production, params and data change every step, so the
+        # hoist never applies there and would under-measure here.
+        def body(carry, _):
+            ts, A, B = carry
             new_ts, losses = body_fn(ts, A, B, 0.01)
-            return new_ts, ()
+            eps = 1e-30 * (losses["gen_total"] + losses["dis_total"])
+            return (new_ts, A + eps.astype(A.dtype),
+                    B + eps.astype(B.dtype)), ()
 
-        ts, _ = lax.scan(body, ts, None, length=length)
-        return jax.tree.leaves(ts["models"])[0].ravel()[0]
+        (ts, A, B), _ = lax.scan(body, (ts, A, B), None, length=length)
+        return (_live_sum(ts["models"]) + A.ravel()[0].astype(jnp.float32)
+                + B.ravel()[0].astype(jnp.float32))
 
     return _timer(n1, n2, reps)(chain, ts, A, B)
 
@@ -108,17 +136,21 @@ def forward_chain_time(cfg, A, B, *, dis_only=False, n1=5, n2=105, reps=3):
 
     @functools.partial(jax.jit, static_argnums=(4,))
     def chain(models, states, A, B, length):
+        # Both inputs are nudged: with B loop-constant (and the params
+        # constant in a forward-only chain), every B-side forward
+        # (G_A(B), G_B(BA), D_B(B)) is loop-invariant and hoistable.
         def body(carry, _):
-            A, states = carry
+            A, B, states = carry
             losses, new_states = _forward(models, states, A, B,
                                           jnp.float32(0.01), cfg, policy,
                                           dis_only=dis_only)
-            A2 = A + (1e-30 * (losses["gen_total"] + losses["dis_total"])
-                      ).astype(A.dtype)
-            return (A2, new_states), ()
+            eps = 1e-30 * (losses["gen_total"] + losses["dis_total"])
+            return (A + eps.astype(A.dtype), B + eps.astype(B.dtype),
+                    new_states), ()
 
-        (A, states), _ = lax.scan(body, (A, states), None, length=length)
-        return A.ravel()[0]
+        (A, B, states), _ = lax.scan(body, (A, B, states), None,
+                                     length=length)
+        return A.ravel()[0] + B.ravel()[0]
 
     return _timer(n1, n2, reps)(chain, models, states, A, B)
 
@@ -128,6 +160,7 @@ def grad_chain_time(cfg, which, A, B, *, n1=5, n2=55, reps=3):
     (keeps every gradient live; optimizer HBM traffic excluded). The D
     branch honors cfg.lean_dis (same graph as step_chain_time)."""
     import jax
+    import jax.numpy as jnp
     from jax import lax
 
     from ..core.precision import default_policy
@@ -143,8 +176,12 @@ def grad_chain_time(cfg, which, A, B, *, n1=5, n2=55, reps=3):
 
     @functools.partial(jax.jit, static_argnums=(4,))
     def chain(models, states, A, B, length):
+        # A/B nudged per iteration: the non-trainable nets' forwards (gen
+        # nets in the D branch) read loop-constant params, so with
+        # constant inputs they are loop-invariant and hoistable —
+        # under-measuring the chain (see step_chain_time).
         def body(carry, _):
-            models, states = carry
+            models, states, A, B = carry
             frozen = {k: v for k, v in models.items() if k not in keys}
 
             def loss_fn(trainable):
@@ -154,16 +191,20 @@ def grad_chain_time(cfg, which, A, B, *, n1=5, n2=55, reps=3):
                 return losses[total_key], new_states
 
             trainable = {k: models[k] for k in keys}
-            (_, new_states), grads = jax.value_and_grad(
+            (loss, new_states), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(trainable)
             new_tr = jax.tree.map(
                 lambda p, g: p - (1e-30 * g).astype(p.dtype),
                 trainable, grads)
-            return ({**frozen, **new_tr}, new_states), ()
+            eps = 1e-30 * loss
+            return ({**frozen, **new_tr}, new_states,
+                    A + eps.astype(A.dtype), B + eps.astype(B.dtype)), ()
 
-        (models, _), _ = lax.scan(body, (models, ts["model_states"]),
-                                  None, length=length)
-        return jax.tree.leaves(models)[0].ravel()[0]
+        (models, _, A, B), _ = lax.scan(
+            body, (models, ts["model_states"], A, B), None, length=length)
+        return (_live_sum({k: models[k] for k in keys})
+                + A.ravel()[0].astype(jnp.float32)
+                + B.ravel()[0].astype(jnp.float32))
 
     return _timer(n1, n2, reps)(chain, ts["models"], ts["model_states"],
                                 A, B)
@@ -196,7 +237,10 @@ def adam_chain_time(cfg, which, *, n1=10, n2=210, reps=3):
             return (new_tr, new_opt), ()
 
         (tr, _), _ = lax.scan(body, (trainable, opt), None, length=length)
-        return jax.tree.leaves(tr)[0].ravel()[0]
+        # Adam updates are per-tensor independent: returning one leaf
+        # dead-codes every other tensor's update (measured ~0 until
+        # round 3). One element per leaf keeps them all live.
+        return _live_sum(tr)
 
     return _timer(n1, n2, reps)(chain, trainable, ts[opt_key])
 
@@ -460,8 +504,13 @@ def time_layer_epilogue(kind, size, cin, cout, batch, dtype, epi, timed):
     return epi_fwd, epi_bwd
 
 
-def conv_accounting(image_size, batch, dtype, *, n1=20, n2=220, reps=3):
+def conv_accounting(image_size, batch, dtype, *, n1=100, n2=1100, reps=5):
     """Per-layer measured times x step-graph multiplicities.
+
+    1000-op chain difference: the round-2 conv_kernel_bench lesson —
+    200-op windows produce NEGATIVE marginals on sub-10us layers (the
+    differenced quantity is ~4ms against a ~30ms dispatch+sync floor);
+    at 1000 ops the smallest real layer is ~10x the noise floor.
 
     G-step multiplicities (model_arch=discogan, 64px-class, remat off):
       forwards: 4 generator + 4 discriminator instances.

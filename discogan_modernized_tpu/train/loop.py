@@ -487,22 +487,30 @@ def _run_training(args, *, angle_variant: bool = False, distributed: bool = Fals
             # is 100-300 ms, so dispatch amortization is worth ~1% while the
             # fused program compiles for tens of minutes (512px b8 lean) or
             # exceeds HBM at compile (512px b32) — not a good default trade.
-            steps_per_call = 8 if scan_eligible and args.image_size <= 128 else 1
+            # ~24 steps per call, rounded to a whole number of G/D update
+            # periods so chunks stay phase-aligned (scan_variant "phase" —
+            # the straight-line body, +7% at 64px b64, PERF.md round 3).
+            if scan_eligible and args.image_size <= 128:
+                ui = cfg.update_interval
+                steps_per_call = max(ui, (24 // ui) * ui)
+            else:
+                steps_per_call = 1
         if steps_per_call > 1 and scan_eligible:
-            from .step import make_scan_train_step
+            from .step import make_scan_train_step, scan_variant
 
             scan_progs: dict = {}
 
-            def scan_prog(k):
-                if k not in scan_progs:
+            def scan_prog(k, variant="switch"):
+                if (k, variant) not in scan_progs:
                     if dp_scan:
                         from ..parallel import make_dp_scan_train_step
 
-                        scan_progs[k] = make_dp_scan_train_step(
-                            cfg, mesh, steps=k)
+                        scan_progs[k, variant] = make_dp_scan_train_step(
+                            cfg, mesh, steps=k, variant=variant)
                     else:
-                        scan_progs[k] = make_scan_train_step(cfg, steps=k)
-                return scan_progs[k]
+                        scan_progs[k, variant] = make_scan_train_step(
+                            cfg, steps=k, variant=variant)
+                return scan_progs[k, variant]
 
             # Probe-compile with ABSTRACT args before building the HBM
             # dataset: at 512px b32 the fused-scan program exceeds HBM at
@@ -535,7 +543,9 @@ def _run_training(args, *, angle_variant: bool = False, distributed: bool = Fals
                     sds((), jnp.int32),
                 )
                 try:
-                    scan_prog(steps_per_call).lower(*abstract).compile()
+                    scan_prog(steps_per_call,
+                              scan_variant(cfg, iters, steps_per_call)
+                              ).lower(*abstract).compile()
                 except Exception as e:
                     print(f"경고: 다단계 scan 프로그램 컴파일 실패 — 단일 스텝 "
                           f"경로로 폴백합니다 "
@@ -596,10 +606,21 @@ def _run_training(args, *, angle_variant: bool = False, distributed: bool = Fals
                 for iv in intervals:
                     nxt = ((iters + iv - 1) // iv) * iv  # next snapshot iter
                     k = min(k, nxt - iters + 1)
+                ui = cfg.update_interval
+                if iters % ui:
+                    # Misaligned start (e.g. a resume point mid-period):
+                    # one short switch-variant chunk restores alignment so
+                    # every following chunk runs the phase program.
+                    k = min(k, ui - iters % ui)
+                elif k >= ui and k % ui:
+                    # Clipped chunks shrink to whole periods; the remainder
+                    # (up to the snapshot iteration) runs next time.
+                    k = (k // ui) * ui
+                variant = scan_variant(cfg, iters, k)
                 ia = np.stack([next(stream) for _ in range(k)], axis=0)
                 ia, ib = ia[:, 0], ia[:, 1]
                 try:
-                    ts, losses = scan_prog(k)(
+                    ts, losses = scan_prog(k, variant)(
                         ts, dev_A, dev_B, to_idx(ia), to_idx(ib),
                         jnp.int32(iters))
                 except Exception as e:

@@ -340,7 +340,8 @@ def make_lean_dis_step(cfg: TrainConfig, policy: Policy | None = None, *,
 
 def make_scan_train_step(cfg: TrainConfig, policy: Policy | None = None, *,
                          steps: int, jit: bool = True,
-                         compiler_options: dict | None = None):
+                         compiler_options: dict | None = None,
+                         variant: str = "switch"):
     """One XLA program running `steps` train iterations: batch gather from
     the HBM-resident dataset, curriculum rate, and the G/D alternation
     (lax.cond) all inside a lax.scan.
@@ -364,7 +365,8 @@ def make_scan_train_step(cfg: TrainConfig, policy: Policy | None = None, *,
     dis_step = _make_branch(cfg, policy, "dis")
     lean_step = (_make_branch(cfg, policy, "dis", lean=True)
                  if cfg.lean_dis else None)
-    multi = scan_multi_body(cfg, gen_step, dis_step, lean_step, steps)
+    multi = scan_multi_body(cfg, gen_step, dis_step, lean_step, steps,
+                            variant=variant)
 
     if jit:
         if compiler_options is None:
@@ -374,14 +376,56 @@ def make_scan_train_step(cfg: TrainConfig, policy: Policy | None = None, *,
     return multi
 
 
+def scan_variant(cfg: TrainConfig, it0: int, k: int) -> str:
+    """Which scan program a chunk of k iterations starting at it0 should
+    run — the shared chunk planner for train/loop.py and bench.py.
+
+    "phase":      it0 is D-phase-aligned (it0 % update_interval == 0), k is
+                  a whole number of [D, G, ..., G] periods, and (in lean
+                  mode) no logged-D iteration falls inside — the body is
+                  straight-line, no lax.cond/switch at all. Measured
+                  +7.0% over "switch" at 64px b64 (PERF.md round 3): a
+                  per-step conditional over the full ~190MB train-state
+                  carry makes XLA insert carry copies inside the loop.
+    "phase_cond": same alignment but a logged-D iteration falls inside
+                  (lean mode only): the D slot is a lax.cond between the
+                  full and lean D graphs — semantics stay bit-identical
+                  to the per-step path. Measured +4.5% over "switch".
+    "switch":     anything else (misaligned resume points, chunks clipped
+                  at save intervals): the original per-step lax.switch
+                  body, correct at any (it0, k).
+    """
+    ui = cfg.update_interval
+    if it0 % ui or k % ui:
+        return "switch"
+    if cfg.lean_dis and any(
+            i % ui == 0 and i % cfg.log_interval == 0
+            for i in range(it0, it0 + k)):
+        return "phase_cond"
+    return "phase"
+
+
 def scan_multi_body(cfg: TrainConfig, gen_step, dis_step, lean_step,
-                    steps: int):
+                    steps: int, variant: str = "switch"):
     """The unjitted multi-step scan body shared by the single-device scan
     program (make_scan_train_step) and the data-parallel one
     (parallel/dp.py make_dp_scan_train_step, where the branch bodies carry
     axis_name and this whole body runs per-device inside shard_map over
-    per-device dataset shards and local gather indices)."""
+    per-device dataset shards and local gather indices).
+
+    variant (see scan_variant): "switch" alternates G/D per scan step via
+    lax.switch — correct for any iters0. "phase"/"phase_cond" require the
+    CALLER to guarantee iters0 % update_interval == 0 and
+    steps % update_interval == 0: each scan step then runs one whole
+    [D, G, ..., G] period as straight-line code, eliminating the
+    conditional over the full train-state carry (XLA materializes carry
+    copies at conditional boundaries inside while loops — measured
+    0.25 ms/step at 64px b64, PERF.md round 3)."""
     import jax.numpy as jnp
+
+    if variant != "switch":
+        return _phase_multi_body(cfg, gen_step, dis_step, lean_step, steps,
+                                 logged_d_cond=(variant == "phase_cond"))
 
     def multi(ts, data_A, data_B, idx_A, idx_B, iters0):
         def body(ts, xs):
@@ -423,6 +467,68 @@ def scan_multi_body(cfg: TrainConfig, gen_step, dis_step, lean_step,
         if steps % unroll:
             unroll = 1  # non-divisible trip counts stay on the plain loop
         return lax.scan(body, ts, xs, unroll=unroll)
+
+    return multi
+
+
+def _phase_multi_body(cfg: TrainConfig, gen_step, dis_step, lean_step,
+                      steps: int, *, logged_d_cond: bool):
+    """Phase-aligned multi-step body: one [D, G, ..., G] update period per
+    scan step, straight-line (see scan_multi_body / scan_variant).
+
+    The same (ts, data_A, data_B, idx_A, idx_B, iters0) -> (ts, losses)
+    contract as the switch body, with losses stacked per ITERATION — the
+    per-period stacking is reshaped back to (steps, ...) so the
+    training_log contract is indistinguishable between variants.
+    """
+    import jax.numpy as jnp
+
+    ui = cfg.update_interval
+    if steps % ui:
+        raise ValueError(
+            f"phase-aligned scan needs steps % update_interval == 0, got "
+            f"steps={steps}, update_interval={ui}")
+    periods = steps // ui
+
+    def d_slot(ts, A, B, rate, i):
+        if lean_step is None:
+            return dis_step(ts, A, B, rate)
+        if not logged_d_cond:
+            return lean_step(ts, A, B, rate)
+        # Rare logged-D chunks: the cond costs ~0.08 ms/step at 64px b64
+        # (PERF.md round 3) but fires in ~1 of 6 chunks, keeping lean-mode
+        # semantics bit-identical to per-step routing.
+        is_log = (i % cfg.log_interval) == 0
+        return lax.cond(
+            is_log,
+            lambda t: dis_step(t, A, B, rate),
+            lambda t: lean_step(t, A, B, rate),
+            ts)
+
+    def multi(ts, data_A, data_B, idx_A, idx_B, iters0):
+        def body(ts, xs):
+            j, ia, ib = xs  # ia/ib: (ui, batch) — one row per slot
+            outs = []
+            for s in range(ui):
+                A = jnp.take(data_A, ia[s], axis=0)
+                B = jnp.take(data_B, ib[s], axis=0)
+                i = iters0 + j * ui + s
+                rate = jnp.where(i < cfg.gan_curriculum,
+                                 cfg.starting_rate, cfg.default_rate
+                                 ).astype(jnp.float32)
+                if s == 0:
+                    ts, losses = d_slot(ts, A, B, rate, i)
+                else:
+                    ts, losses = gen_step(ts, A, B, rate)
+                outs.append(losses)
+            return ts, jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+
+        xs = (jnp.arange(periods, dtype=jnp.int32),
+              idx_A.reshape(periods, ui, idx_A.shape[-1]),
+              idx_B.reshape(periods, ui, idx_B.shape[-1]))
+        ts, losses = lax.scan(body, ts, xs)
+        return ts, jax.tree.map(
+            lambda x: x.reshape((steps,) + x.shape[2:]), losses)
 
     return multi
 

@@ -236,3 +236,53 @@ def test_distributed_cli_dp_scan_respects_no_device_cache(tmp_path,
     ])
     assert calls["n"] == 0
     assert (result_path / "training_log.txt").exists()
+
+
+def test_dp_phase_scan_trajectory_matches_per_step(mesh):
+    """Round-3 phase variants under DP (straight-line [D,G,G] periods in
+    shard_map): same per-iteration losses and final params as per-step DP
+    routing. Window 1 contains a logged-D (variant phase_cond); window 2
+    does not (pure phase)."""
+    from discogan_modernized_tpu.train.step import scan_variant
+
+    cfg = TrainConfig(image_size=SIZE, precision="f32", lean_dis=True,
+                      log_interval=5)
+    data_A, data_B, dev_A, dev_B = _sharded_data(mesh, seed=4)
+    isrd = NamedSharding(mesh, P(None, DATA_AXIS))
+    bsrd = NamedSharding(mesh, P(DATA_AXIS))
+    gen_step, dis_step = make_dp_train_steps(cfg, mesh)
+    lean_step = make_dp_lean_dis_step(cfg, mesh)
+    rng = np.random.RandomState(5)
+
+    for start, steps, expect in ((0, 6, "phase_cond"), (6, 3, "phase")):
+        assert scan_variant(cfg, start, steps) == expect
+        idx = rng.randint(0, L, (2, steps, GB)).astype(np.int32)
+
+        multi = make_dp_scan_train_step(cfg, mesh, steps=steps,
+                                        variant=expect)
+        ts_s = replicate_train_state(
+            init_train_state(jax.random.PRNGKey(0), cfg), mesh, cfg)
+        ts_s, losses = multi(ts_s, dev_A, dev_B,
+                             jax.device_put(idx[0], isrd),
+                             jax.device_put(idx[1], isrd), jnp.int32(start))
+
+        ts_r = replicate_train_state(
+            init_train_state(jax.random.PRNGKey(0), cfg), mesh, cfg)
+        for j in range(start, start + steps):
+            A = jax.device_put(_global_batch(data_A, idx[0, j - start]), bsrd)
+            B = jax.device_put(_global_batch(data_B, idx[1, j - start]), bsrd)
+            if cfg.use_lean_dis(j):
+                step = lean_step
+            elif cfg.is_dis_iter(j):
+                step = dis_step
+            else:
+                step = gen_step
+            ts_r, lr = step(ts_r, A, B, jnp.float32(cfg.rate_for(j)))
+            for k in lr:
+                assert float(losses[k][j - start]) == pytest.approx(
+                    float(lr[k]), rel=2e-2, abs=6e-3), (start, j, k)
+
+        for a, b in zip(jax.tree.leaves(jax.device_get(ts_s["models"])),
+                        jax.tree.leaves(jax.device_get(ts_r["models"]))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-3)
