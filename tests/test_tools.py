@@ -255,3 +255,45 @@ def test_step_itemize_chains_smoke():
     for name, vals in acc["per_layer"].items():
         assert len(vals) == 5, name
         assert all(np.isfinite(v) for v in vals), name
+
+
+# ---------------------------------------------------------------- tpu_smoke
+
+
+def test_tpu_smoke_stages_on_cpu():
+    """The on-chip smoke gate's train-step and scan-chunk stages must run
+    (and pass) on the CPU backend too — same compiled surfaces, smaller
+    numbers. The pallas stage is chip-only (compiled Mosaic kernels) and
+    covered by bench.pallas_selfcheck on the real device."""
+    from discogan_modernized_tpu.tools import tpu_smoke as sm
+
+    assert "backend=" in sm.stage_probe()
+    assert "dis_A=" in sm.stage_train_step()
+    assert "variant=" in sm.stage_scan_chunk(batch=2, image_size=16)
+
+
+def test_tpu_smoke_main_reports_stage_failures(monkeypatch, capsys):
+    """main() must run every stage, report per-stage FAIL without
+    aborting, and exit nonzero when any stage failed."""
+    from discogan_modernized_tpu.tools import tpu_smoke as sm
+
+    def boom():
+        raise RuntimeError("synthetic failure")
+
+    monkeypatch.setattr(sm, "STAGES", [("good", lambda: "fine"),
+                                       ("bad", boom),
+                                       ("after", lambda: "still runs")])
+    rc = sm.main(["--deadline_s", "0", "--probe_deadline_s", "0"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "good: ok" in out and "bad: FAIL" in out and "after: ok" in out
+    assert "[tpu_smoke] FAIL" in out
+
+
+def test_tpu_smoke_main_passes_with_stubbed_stages(monkeypatch, capsys):
+    from discogan_modernized_tpu.tools import tpu_smoke as sm
+
+    monkeypatch.setattr(sm, "STAGES", [("probe", lambda: "stub")])
+    rc = sm.main(["--deadline_s", "0"])
+    assert rc == 0
+    assert "[tpu_smoke] PASS" in capsys.readouterr().out
