@@ -153,8 +153,8 @@ def measure_train(image_size: int, batch: int, n_steps: int = 400,
     import jax.numpy as jnp
 
     from discogan_modernized_tpu.train import TrainConfig, init_train_state
-    from discogan_modernized_tpu.train.step import (make_scan_train_step,
-                                                    scan_variant)
+    from discogan_modernized_tpu.train.step import (
+        make_scan_program_getter, scan_variants_for_range)
 
     cfg_kwargs.setdefault("model_arch", "discogan")
     cfg = TrainConfig(image_size=image_size, **cfg_kwargs)
@@ -170,17 +170,12 @@ def measure_train(image_size: int, batch: int, n_steps: int = 400,
     n_steps = (n_steps // steps_per_call) * steps_per_call or steps_per_call
     warmup = max(1, warmup // steps_per_call) * steps_per_call
 
-    progs: dict = {}
+    # Same chunk planner as the trainer: phase program on aligned chunks,
+    # phase_cond when a logged-D iteration falls inside.
+    get_prog = make_scan_program_getter(cfg, compiler_options)
 
     def multi_for(it0):
-        # Same chunk planner as the trainer: phase program on aligned
-        # chunks, phase_cond when a logged-D iteration falls inside.
-        v = scan_variant(cfg, it0, steps_per_call)
-        if v not in progs:
-            progs[v] = make_scan_train_step(
-                cfg, steps=steps_per_call, variant=v,
-                compiler_options=compiler_options)
-        return progs[v]
+        return get_prog(it0, steps_per_call)
 
     # Probe-compile with ABSTRACT arguments before allocating anything on
     # the device: at 512px b32 the scan program exceeds HBM at compile
@@ -237,6 +232,17 @@ def measure_train(image_size: int, batch: int, n_steps: int = 400,
         return ts
 
     ts = run(ts, warmup)
+    # Warm EVERY program the timed window will use: the warmup chunk(s)
+    # can exercise a different variant than the timed chunks (iteration 0
+    # is a logged-D iteration under lean_dis -> phase_cond, while most
+    # timed chunks are pure phase) and a compile inside the timed window
+    # under-reports throughput — even a persistent-cache hit costs ~0.4s
+    # against a ~1.4s window.
+    warmed = {v for (_, v) in get_prog.progs}
+    for v, i0 in scan_variants_for_range(cfg, warmup, n_steps,
+                                         steps_per_call).items():
+        if v not in warmed:
+            ts = run(ts, steps_per_call, it0=i0)
     t0 = time.perf_counter()
     run(ts, n_steps, it0=warmup)
     return batch * n_steps / (time.perf_counter() - t0)
@@ -324,7 +330,7 @@ def measure_train_with_decode(image_size: int, batch: int,
 
     with _scratch_cache_dir(cache_prefix):
         from discogan_modernized_tpu.train.step import (
-            make_scan_train_step, scan_variant)
+            make_scan_program_getter)
 
         k = 24  # the CLI trainer's default steps_per_call (8 periods)
         # lean_dis + slim mv mirrors the headline (production) operating
@@ -332,13 +338,10 @@ def measure_train_with_decode(image_size: int, batch: int,
         cfg = TrainConfig(image_size=image_size, model_arch="discogan",
                           lean_dis=True, slim_state="mv")
         ts = init_train_state(jax.random.PRNGKey(0), cfg)
-        progs = {}
+        get_prog = make_scan_program_getter(cfg)
 
         def multi_for(it0):
-            v = scan_variant(cfg, it0, k)
-            if v not in progs:
-                progs[v] = make_scan_train_step(cfg, steps=k, variant=v)
-            return progs[v]
+            return get_prog(it0, k)
         loader = PrefetchLoader(files_A, files_B, batch, image_size,
                                 domain_A=domains[0], domain_B=domains[1])
         if not loader.device_cache:
@@ -368,16 +371,12 @@ def measure_train_with_decode(image_size: int, batch: int,
         _ = float(losses["gen_total"][-1])
         # Pre-compile the pure-phase program too (chunks past the first):
         # its first real call must not land in the cold decode window.
-        da2 = jnp.asarray(rng.randint(0, len(files_A), (k, batch)), jnp.int32)
-        db2 = jnp.asarray(rng.randint(0, len(files_B), (k, batch)), jnp.int32)
-        dummy_A2 = jnp.asarray(
-            rng.rand(len(files_A), image_size, image_size, 3), ddt)
-        dummy_B2 = jnp.asarray(
-            rng.rand(len(files_B), image_size, image_size, 3), ddt)
-        ts, losses = multi_for(k)(ts, dummy_A2, dummy_B2, da2, db2,
+        # Only ts is donated (donate_argnums=(0,)), so the dummy dataset
+        # and index arrays are reused verbatim.
+        ts, losses = multi_for(k)(ts, dummy_A, dummy_B, da, db,
                                   jnp.int32(k))
         _ = float(losses["gen_total"][-1])
-        del dummy_A, dummy_B, dummy_A2, dummy_B2
+        del dummy_A, dummy_B
 
         def index_stream():
             while True:

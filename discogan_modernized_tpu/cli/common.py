@@ -167,7 +167,7 @@ def add_common_flags(parser: argparse.ArgumentParser, *, task_default: str,
                              'stats); only BN running-stat bookkeeping '
                              'differs. Logged iterations always run the '
                              'full graph, so training_log.txt is exact.')
-    parser.add_argument('--slim_state', type=str, default='mv',
+    parser.add_argument('--slim_state', type=str, default=None,
                         choices=['off', 'mv', 'all'],
                         help='(extension) low-precision optimizer/master '
                              'state: mv = Adam moments in bf16, all = '
@@ -175,10 +175,12 @@ def add_common_flags(parser: argparse.ArgumentParser, *, task_default: str,
                              'stochastically-rounded updates. Reclaims '
                              'most of the ~8GB f32 state that caps 512px '
                              'batch size on a 16GB chip (PERF.md). '
-                             'Default mv (round 3): it passes the FULL '
-                             'fidelity/trajectory suite unchanged and is '
-                             'a measured +3%% — pass off for the f32 '
-                             'optimizer state.')
+                             'Default mv (round 3: passes the FULL '
+                             'fidelity/trajectory suite unchanged, '
+                             'measured +3%%); with the flag omitted the '
+                             'DISCOGAN_SLIM_STATE env var overrides the '
+                             'default — pass off for the f32 optimizer '
+                             'state.')
     parser.add_argument('--xla_copts', type=str, default=None,
                         metavar='KEY=VAL[,KEY=VAL...]',
                         help='(extension) per-program XLA compiler-option '

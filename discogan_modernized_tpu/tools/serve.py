@@ -195,6 +195,18 @@ def make_handler(translator, args):
 
     from ..data.preprocess import preprocess_array
 
+    # Artifact mode: --direction does not pick the generator (it is baked
+    # at export) — report the sidecar's recorded direction instead of the
+    # flag. Resolved ONCE here: it is immutable for the server's lifetime
+    # and /healthz is polled every few seconds by load balancers.
+    health_direction = args.direction
+    if getattr(args, "exported", None):
+        from .export_model import load_artifact_sidecar
+
+        meta = load_artifact_sidecar(args.exported)
+        health_direction = ((meta or {}).get("direction")
+                            or "baked-in-artifact")
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
@@ -209,18 +221,8 @@ def make_handler(translator, args):
 
         def do_GET(self):
             if self.path == "/healthz":
-                # Artifact mode: --direction does not pick the generator
-                # (it is baked at export) — report the sidecar's recorded
-                # direction when available instead of the flag.
-                direction = args.direction
-                if getattr(args, "exported", None):
-                    from .export_model import load_artifact_sidecar
-
-                    meta = load_artifact_sidecar(args.exported)
-                    direction = ((meta or {}).get("direction")
-                                 or "baked-in-artifact")
                 self._json(200, {"status": "ok",
-                                 "direction": direction,
+                                 "direction": health_direction,
                                  "image_size": args.image_size,
                                  "exported": bool(getattr(args, "exported",
                                                           None))})

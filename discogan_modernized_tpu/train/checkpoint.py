@@ -220,7 +220,13 @@ def load_train_state(model_path, ts_template):
                 try:
                     os.rename(new_dir, ckpt_dir)
                 except OSError:
-                    ckpt_dir = new_dir  # read-only fs: restore in place
+                    # Either a read-only fs (restore the .new dir in
+                    # place) or we lost the promotion race to another
+                    # resuming process on a shared fs (its rename already
+                    # produced the final dir — use that; pointing at the
+                    # renamed-away .new path would crash the resume).
+                    if not ckpt_dir.exists():
+                        ckpt_dir = new_dir
         ts = ckptr.restore(ckpt_dir, ts_template)
         # Normalize to HOST arrays like the npz branch returns: orbax
         # hands back COMMITTED per-device jax.Arrays, which a multi-host

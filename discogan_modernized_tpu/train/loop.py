@@ -63,6 +63,8 @@ def preprocess_test_set(args, test_A, test_B, angle_variant: bool):
 
 
 def config_from_args(args, angle_variant: bool) -> TrainConfig:
+    import os
+
     from .graph import ARCH_MODES
 
     if args.model_arch not in ARCH_MODES:
@@ -88,7 +90,14 @@ def config_from_args(args, angle_variant: bool) -> TrainConfig:
             getattr(args, "remat_policy", None)),
         lean_dis=bool(getattr(args, "lean_dis", False)),
         log_interval=args.log_interval,
-        slim_state=getattr(args, "slim_state", None),
+        # Trainer default: explicit --slim_state wins; with the flag
+        # omitted the documented DISCOGAN_SLIM_STATE env knob applies,
+        # else "mv" (round 3: passes the full fidelity/trajectory suite,
+        # measured +3%). Resolved HERE so the library-level TrainConfig
+        # default (None -> env -> "off", the fidelity-gate configuration)
+        # stays untouched for tests/tools.
+        slim_state=(getattr(args, "slim_state", None)
+                    or os.environ.get("DISCOGAN_SLIM_STATE") or "mv"),
     )
 
 
@@ -105,13 +114,16 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
     import os
 
     prev_copts = _UNSET
-    if getattr(args, "xla_copts", None):
-        from .step import env_compiler_options
-
-        prev_copts = os.environ.get("DISCOGAN_XLA_COPTS")
-        os.environ["DISCOGAN_XLA_COPTS"] = args.xla_copts
-        env_compiler_options()  # raises ValueError on malformed entries
     try:
+        if getattr(args, "xla_copts", None):
+            from .step import env_compiler_options
+
+            prev_copts = os.environ.get("DISCOGAN_XLA_COPTS")
+            os.environ["DISCOGAN_XLA_COPTS"] = args.xla_copts
+            # Raises ValueError on malformed entries — INSIDE the try so
+            # the finally strips the bad value from the environment (a
+            # caller that catches the error must not inherit it).
+            env_compiler_options()
         return _run_training(args, angle_variant=angle_variant,
                              distributed=distributed)
     finally:
@@ -183,6 +195,18 @@ def _run_training(args, *, angle_variant: bool = False, distributed: bool = Fals
     is_main = jax.process_index() == 0
 
     timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    if n_proc > 1:
+        # Every process must agree on the run directory: the collective
+        # orbax save (ckpt_all_procs) has ALL processes enter save() on
+        # the same path, and hosts can start seconds apart — a per-process
+        # datetime.now() would shard the checkpoint across mismatched
+        # directories. Broadcast process 0's timestamp (fixed 15-byte
+        # "%Y%m%d_%H%M%S" encoding).
+        from jax.experimental import multihost_utils
+
+        enc = np.frombuffer(timestamp.encode("ascii"), dtype=np.uint8)
+        enc = np.asarray(multihost_utils.broadcast_one_to_all(enc))
+        timestamp = enc.tobytes().decode("ascii")
     result_path, model_path = build_paths(args, timestamp, angle_variant)
     cfg = config_from_args(args, angle_variant)  # fail fast before data IO
 

@@ -405,6 +405,41 @@ def scan_variant(cfg: TrainConfig, it0: int, k: int) -> str:
     return "phase"
 
 
+def scan_variants_for_range(cfg: TrainConfig, it0: int, n: int,
+                            k: int) -> dict:
+    """variant -> first chunk start, for the chunks of size k covering
+    iterations [it0, it0 + n). Benchmarks warming a timed window must
+    pre-build every program the window will use: the warmup chunks can
+    exercise a different variant than the timed ones (e.g. iteration 0 is
+    a logged-D iteration under lean_dis -> "phase_cond", while most timed
+    chunks are pure "phase"), and a compile landing inside the timed
+    window under-reports throughput."""
+    out: dict = {}
+    for i0 in range(it0, it0 + n, k):
+        out.setdefault(scan_variant(cfg, i0, k), i0)
+    return out
+
+
+def make_scan_program_getter(cfg: TrainConfig,
+                             compiler_options: dict | None = None):
+    """(it0, k) -> the cached jitted scan program for that chunk — the
+    chunk-planner + program-cache pattern shared by bench.measure_train
+    and bench.measure_train_with_decode (train/loop.py keeps its own
+    variant because it also routes the data-parallel program). The cache
+    dict is exposed as .progs for warm-variant checks."""
+    progs: dict = {}
+
+    def get(it0: int, k: int):
+        v = scan_variant(cfg, it0, k)
+        if (k, v) not in progs:
+            progs[k, v] = make_scan_train_step(
+                cfg, steps=k, variant=v, compiler_options=compiler_options)
+        return progs[k, v]
+
+    get.progs = progs
+    return get
+
+
 def scan_multi_body(cfg: TrainConfig, gen_step, dis_step, lean_step,
                     steps: int, variant: str = "switch"):
     """The unjitted multi-step scan body shared by the single-device scan

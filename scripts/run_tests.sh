@@ -11,7 +11,7 @@ CHUNKS=(
   "tests/test_dp.py tests/test_gspmd.py tests/test_parallel_modes.py tests/test_multihost.py tests/test_dp_scan.py"
   "tests/test_memory_analysis.py tests/test_paired.py tests/test_lean_dis.py"
   "tests/test_cli.py tests/test_learning.py"
-  "tests/test_serve.py tests/test_preemption.py tests/test_pipeline.py tests/test_round2_fixes.py tests/test_round3_fixes.py"
+  "tests/test_serve.py tests/test_preemption.py tests/test_pipeline.py tests/test_round2_fixes.py tests/test_round3_fixes.py tests/test_review_fixes.py"
   "tests/test_hp_search_e2e.py tests/test_tools.py tests/test_pallas.py tests/test_pallas_conv.py tests/test_export.py tests/test_bench_guard.py"
 )
 
