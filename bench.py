@@ -159,12 +159,11 @@ def measure_train(image_size: int, batch: int, n_steps: int = 400,
     cfg_kwargs.setdefault("model_arch", "discogan")
     cfg = TrainConfig(image_size=image_size, **cfg_kwargs)
     if steps_per_call is None:
-        # Whole G/D update periods per call, so aligned chunks run the
-        # straight-line phase program — exactly the trainer's default
-        # (train/loop.py; +7% over the per-step lax.switch body, PERF.md
-        # round 3).
-        ui = cfg.update_interval
-        steps_per_call = max(ui, (24 // ui) * ui) if image_size <= 128 else 5
+        # The trainer's default chunk size (phase-aligned — see
+        # auto_steps_per_call / PERF.md round 3).
+        from discogan_modernized_tpu.train.step import auto_steps_per_call
+
+        steps_per_call = auto_steps_per_call(cfg, image_size)
     if n_data is None:  # keep the resident dataset small at large sizes
         n_data = 256 if image_size <= 128 else 2 * batch
     n_steps = (n_steps // steps_per_call) * steps_per_call or steps_per_call
@@ -330,13 +329,13 @@ def measure_train_with_decode(image_size: int, batch: int,
 
     with _scratch_cache_dir(cache_prefix):
         from discogan_modernized_tpu.train.step import (
-            make_scan_program_getter)
+            auto_steps_per_call, make_scan_program_getter)
 
-        k = 24  # the CLI trainer's default steps_per_call (8 periods)
         # lean_dis + slim mv mirrors the headline (production) operating
         # point.
         cfg = TrainConfig(image_size=image_size, model_arch="discogan",
                           lean_dis=True, slim_state="mv")
+        k = auto_steps_per_call(cfg, image_size)  # the CLI trainer default
         ts = init_train_state(jax.random.PRNGKey(0), cfg)
         get_prog = make_scan_program_getter(cfg)
 
@@ -485,9 +484,13 @@ def measure_train_with_decode_512(batch: int = 32, n_per_domain: int = 256,
     plus the first epoch of steps (the reference pays the decode EVERY
     epoch); warm = steady state off the HBM-resident dataset.
 
-    Uses the per-step path with an on-device jitted gather (the fused
-    scan program exceeds this backend's compile limits at 512px b32 —
-    PERF.md), exactly mirroring the CLI trainer's fallback behavior."""
+    The model config is the config[4] production operating point
+    (--lean_dis, --remat off, scoped-vmem copt — configs/
+    tops2hanbok_512_dp.yaml). Cold uses the per-step path (the first
+    epoch is decode-dominated); warm runs the trainer's phase-aligned
+    fused-scan program (k = 2 update periods, +3.3% over the switch body
+    at this point, PERF.md round 3), falling back to per-step if the
+    scan program fails to compile — mirroring the CLI trainer."""
     import tempfile
     from pathlib import Path
 
@@ -507,7 +510,8 @@ def measure_train_with_decode_512(batch: int = 32, n_per_domain: int = 256,
 
     with _scratch_cache_dir("bench_decode_cache512_"):
         cfg = TrainConfig(image_size=512, model_arch="discogan",
-                          slim_state=slim_state)
+                          slim_state=slim_state, lean_dis=True, remat=False)
+        copts = {"xla_tpu_scoped_vmem_limit_kib": "32768"}
         ts = init_train_state(jax.random.PRNGKey(0), cfg)
         gen_step, dis_step = make_train_steps(cfg)
         take = jax.jit(lambda d, i: jnp.take(d, i, axis=0))
@@ -552,16 +556,71 @@ def measure_train_with_decode_512(batch: int = 32, n_per_domain: int = 256,
             _ = float(jax.tree.leaves(ts["models"]["gen_B"])[0].ravel()[0])
             return ts, it
 
+        # Warm path: the trainer's phase-aligned fused scan (k = 2 update
+        # periods). Probe-compile with abstract args BEFORE the device
+        # dataset exists (compile-OOM safety, same as measure_train);
+        # fall back to the per-step path like the trainer does.
+        from discogan_modernized_tpu.train.step import (
+            make_scan_program_getter, scan_variants_for_range)
+
+        from discogan_modernized_tpu.train.step import auto_steps_per_call
+
+        k = auto_steps_per_call(cfg, 512)
+        get_prog = make_scan_program_getter(cfg, copts)
+        scan_ok = True
+        sds = jax.ShapeDtypeStruct
+        ddt = loader._device_dtype()
+        try:
+            get_prog(0, k).lower(
+                jax.eval_shape(lambda: init_train_state(
+                    jax.random.PRNGKey(0), cfg)),
+                sds((nd, 512, 512, 3), ddt), sds((nd, 512, 512, 3), ddt),
+                sds((k, batch), jnp.int32), sds((k, batch), jnp.int32),
+                sds((), jnp.int32),
+            ).compile()
+        except Exception as e:
+            import sys
+
+            print(f"# 512px decode bench: scan compile failed "
+                  f"({type(e).__name__}) — warm phase measured per-step",
+                  file=sys.stderr, flush=True)
+            scan_ok = False
+
+        def run_scan(ts, it0, n):
+            losses = None
+            for c in range(n // k):
+                ia = jnp.asarray(rng.randint(0, nd, (k, batch)), jnp.int32)
+                ib = jnp.asarray(rng.randint(0, nd, (k, batch)), jnp.int32)
+                i0 = it0 + c * k
+                ts, losses = get_prog(i0, k)(ts, dev_A, dev_B, ia, ib,
+                                             jnp.int32(i0))
+            _ = float(losses["gen_total"][-1])
+            _ = float(jax.tree.leaves(ts["models"]["gen_B"])[0].ravel()[0])
+            return ts, it0 + (n // k) * k
+
         # Cold: decode + preprocess + H2D of both domains, then 1 epoch.
         t0 = time.perf_counter()
         dev_A, dev_B = loader.device_data()
         ts, it = run_epoch(ts, dev_A, dev_B, it, n_epoch)
         cold = batch * n_epoch / (time.perf_counter() - t0)
 
-        ts, it = run_epoch(ts, dev_A, dev_B, it, n_epoch)  # settle
-        t0 = time.perf_counter()
-        ts, it = run_epoch(ts, dev_A, dev_B, it, n_warm_steps)
-        warm = batch * n_warm_steps / (time.perf_counter() - t0)
+        if scan_ok:
+            ui = cfg.update_interval
+            if it % ui:  # realign to a D-phase boundary for "phase" chunks
+                ts, it = run_epoch(ts, dev_A, dev_B, it, ui - it % ui)
+            n_warm = max(k, (n_warm_steps // k) * k)
+            ts, it = run_scan(ts, it, n_epoch)  # settle + warm programs
+            for v, i0 in scan_variants_for_range(cfg, it, n_warm, k).items():
+                if not any(vv == v for (_, vv) in get_prog.progs):
+                    ts, _ = run_scan(ts, i0, k)
+            t0 = time.perf_counter()
+            ts, it = run_scan(ts, it, n_warm)
+            warm = batch * n_warm / (time.perf_counter() - t0)
+        else:
+            ts, it = run_epoch(ts, dev_A, dev_B, it, n_epoch)  # settle
+            t0 = time.perf_counter()
+            ts, it = run_epoch(ts, dev_A, dev_B, it, n_warm_steps)
+            warm = batch * n_warm_steps / (time.perf_counter() - t0)
         return {"cold": cold, "warm": warm, "batch": batch,
                 "n_images": 2 * n_per_domain}
 
@@ -973,7 +1032,9 @@ def main(full: bool = False):
             "note": "BASELINE config[4] workload shape (tops2hanbok-style "
                     "512px custom task): real 512x512 JPEG decode + "
                     "preprocess + H2D (cold, one-time) vs steady state off "
-                    "the HBM-resident dataset (warm); slim_state=all",
+                    "the HBM-resident dataset (warm, phase-aligned fused "
+                    "scan); production operating point (slim_state=all, "
+                    "lean_dis, remat off, scoped-vmem copt)",
         }
         Path("benchmarks").mkdir(exist_ok=True)
         Path("benchmarks/full.json").write_text(json.dumps(detail, indent=2))

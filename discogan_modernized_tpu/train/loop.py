@@ -507,16 +507,22 @@ def _run_training(args, *, angle_variant: bool = False, distributed: bool = Fals
         else:  # gspmd/spatial: model-axis sharding not wired into the scan
             scan_eligible = False
         if steps_per_call is None:
-            # Auto: fuse steps only at small image sizes. At >= 256px a step
-            # is 100-300 ms, so dispatch amortization is worth ~1% while the
-            # fused program compiles for tens of minutes (512px b8 lean) or
-            # exceeds HBM at compile (512px b32) — not a good default trade.
-            # ~24 steps per call, rounded to a whole number of G/D update
-            # periods so chunks stay phase-aligned (scan_variant "phase" —
-            # the straight-line body, +7% at 64px b64, PERF.md round 3).
-            if scan_eligible and args.image_size <= 128:
-                ui = cfg.update_interval
-                steps_per_call = max(ui, (24 // ui) * ui)
+            # Auto: ~24 steps per call at small sizes, 2 whole G/D update
+            # periods at >= 256px — in both regimes chunks stay
+            # phase-aligned (scan_variant "phase", the straight-line body:
+            # +7.0% at 64px b64 and +3.3% at 512px b32 over the per-step
+            # lax.switch, PERF.md round 3; at 512px the switch's carry
+            # copies span a multi-GB train state). Compile cost is
+            # geometry-dependent and ONE-TIME per machine (persistent
+            # cache): 512px b32 ~3 min, 256px b8 >10 min observed — it
+            # amortizes over production-length runs and every resume;
+            # pass --steps_per_call 1 for short/throwaway runs. The
+            # abstract probe below falls back to the per-step path if a
+            # geometry exceeds HBM at compile.
+            if scan_eligible:
+                from .step import auto_steps_per_call
+
+                steps_per_call = auto_steps_per_call(cfg, args.image_size)
             else:
                 steps_per_call = 1
         if steps_per_call > 1 and scan_eligible:
@@ -542,10 +548,10 @@ def _run_training(args, *, angle_variant: bool = False, distributed: bool = Fals
             # that out after allocating the device cache risks transient
             # co-residency OOMs (tunnel buffer deletion is async). The real
             # call after a successful probe hits the persistent compile
-            # cache. Only probed in the at-risk regime (>= 256px, where a
-            # user forced --steps_per_call) — small sizes never compile-OOM
-            # and would pay the probe as a duplicate compile on fast-compile
-            # backends (CPU tests fall under the 1s persistent-cache floor).
+            # cache. Only probed in the at-risk regime (>= 256px) — small
+            # sizes never compile-OOM and would pay the probe as a
+            # duplicate compile on fast-compile backends (CPU tests fall
+            # under the 1s persistent-cache floor).
             # DP-scan skips the probe: its abstract avals would need mesh
             # shardings; the runtime try/except fallback below covers it
             # (donated buffers are untouched on a compile failure).

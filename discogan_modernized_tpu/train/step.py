@@ -405,6 +405,19 @@ def scan_variant(cfg: TrainConfig, it0: int, k: int) -> str:
     return "phase"
 
 
+def auto_steps_per_call(cfg: TrainConfig, image_size: int) -> int:
+    """The default fused-scan chunk size shared by the trainer
+    (train/loop.py) and bench.py: ~24 iterations at small sizes, 2 whole
+    G/D update periods at >= 256px — always a whole number of periods so
+    aligned chunks run the straight-line "phase" program (+7.0% at 64px
+    b64, +3.3% at 512px b32 over the per-step switch body, PERF.md
+    round 3)."""
+    ui = cfg.update_interval
+    if image_size <= 128:
+        return max(ui, (24 // ui) * ui)
+    return 2 * ui
+
+
 def scan_variants_for_range(cfg: TrainConfig, it0: int, n: int,
                             k: int) -> dict:
     """variant -> first chunk start, for the chunks of size k covering

@@ -159,3 +159,21 @@ def test_cli_slim_state_default_env_and_flag(monkeypatch):
     from discogan_modernized_tpu.train.step import TrainConfig
 
     assert resolve_slim_state(TrainConfig(image_size=16)) == "off"
+
+
+def test_auto_steps_per_call_phase_aligned_both_regimes():
+    """The shared trainer/bench default chunk size: whole update periods
+    in both regimes (so aligned chunks run the straight-line phase
+    program), ~24 at small sizes, 2 periods at >= 256px (PERF.md round 3:
+    +7.0% at 64px b64, +3.3% at 512px b32 over the switch body)."""
+    from discogan_modernized_tpu.train.step import (TrainConfig,
+                                                    auto_steps_per_call)
+
+    cfg = TrainConfig(image_size=16)
+    assert cfg.update_interval == 3
+    assert auto_steps_per_call(cfg, 64) == 24
+    assert auto_steps_per_call(cfg, 128) == 24
+    assert auto_steps_per_call(cfg, 256) == 6
+    assert auto_steps_per_call(cfg, 512) == 6
+    for size in (64, 256, 512):
+        assert auto_steps_per_call(cfg, size) % cfg.update_interval == 0
