@@ -164,6 +164,14 @@ def measure_train(image_size: int, batch: int, n_steps: int = 400,
         from discogan_modernized_tpu.train.step import auto_steps_per_call
 
         steps_per_call = auto_steps_per_call(cfg, image_size)
+    if steps_per_call == 1:
+        # The trainer's per-step regime (remat-on large sizes: the k=6
+        # phase scan measured -6.0% vs per-step at the faithful 512px
+        # point — PERF.md round 3).
+        return measure_train_per_step(image_size, batch, n_steps=n_steps,
+                                      warmup=warmup,
+                                      compiler_options=compiler_options,
+                                      **cfg_kwargs)
     if n_data is None:  # keep the resident dataset small at large sizes
         n_data = 256 if image_size <= 128 else 2 * batch
     n_steps = (n_steps // steps_per_call) * steps_per_call or steps_per_call

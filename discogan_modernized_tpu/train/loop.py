@@ -508,11 +508,14 @@ def _run_training(args, *, angle_variant: bool = False, distributed: bool = Fals
             scan_eligible = False
         if steps_per_call is None:
             # Auto: ~24 steps per call at small sizes, 2 whole G/D update
-            # periods at >= 256px — in both regimes chunks stay
+            # periods at >= 256px with remat OFF — chunks stay
             # phase-aligned (scan_variant "phase", the straight-line body:
-            # +7.0% at 64px b64 and +3.3% at 512px b32 over the per-step
-            # lax.switch, PERF.md round 3; at 512px the switch's carry
-            # copies span a multi-GB train state). Compile cost is
+            # +7.0% at 64px b64 and +3.3% at 512px b32 slim/no-remat over
+            # the per-step lax.switch, PERF.md round 3; at 512px the
+            # switch's carry copies span a multi-GB train state). With
+            # remat ON at >= 256px auto returns 1: the k=6 phase scan
+            # measured -6.0% vs per-step at the faithful 512px point
+            # (PERF.md round 3 "faithful 512px"). Compile cost is
             # geometry-dependent and ONE-TIME per machine (persistent
             # cache): 512px b32 ~3 min, 256px b8 >10 min observed — it
             # amortizes over production-length runs and every resume;

@@ -411,11 +411,16 @@ def auto_steps_per_call(cfg: TrainConfig, image_size: int) -> int:
     G/D update periods at >= 256px — always a whole number of periods so
     aligned chunks run the straight-line "phase" program (+7.0% at 64px
     b64, +3.3% at 512px b32 over the per-step switch body, PERF.md
-    round 3)."""
+    round 3). At >= 256px the scan only wins with remat OFF (the slim
+    fast point); with remat ON the k=6 phase scan measured -6.0% vs
+    per-step at the faithful 512px point (interleaved, 5 rounds, PERF.md
+    round 3 "faithful 512px") — remat-on large sizes return 1
+    (per-step)."""
     ui = cfg.update_interval
     if image_size <= 128:
         return max(ui, (24 // ui) * ui)
-    return 2 * ui
+    use_remat = (image_size >= 256) if cfg.remat is None else cfg.remat
+    return 1 if use_remat else 2 * ui
 
 
 def scan_variants_for_range(cfg: TrainConfig, it0: int, n: int,

@@ -163,9 +163,11 @@ def test_cli_slim_state_default_env_and_flag(monkeypatch):
 
 def test_auto_steps_per_call_phase_aligned_both_regimes():
     """The shared trainer/bench default chunk size: whole update periods
-    in both regimes (so aligned chunks run the straight-line phase
-    program), ~24 at small sizes, 2 periods at >= 256px (PERF.md round 3:
-    +7.0% at 64px b64, +3.3% at 512px b32 over the switch body)."""
+    (so aligned chunks run the straight-line phase program), ~24 at small
+    sizes, 2 periods at >= 256px with remat OFF (the measured scan win,
+    PERF.md round 3: +7.0% at 64px b64, +3.3% at 512px b32 slim/no-remat),
+    and 1 (per-step) at >= 256px with remat ON — the faithful 512px point
+    measured the k=6 phase scan -6.0% vs per-step (PERF.md round 3)."""
     from discogan_modernized_tpu.train.step import (TrainConfig,
                                                     auto_steps_per_call)
 
@@ -173,7 +175,14 @@ def test_auto_steps_per_call_phase_aligned_both_regimes():
     assert cfg.update_interval == 3
     assert auto_steps_per_call(cfg, 64) == 24
     assert auto_steps_per_call(cfg, 128) == 24
-    assert auto_steps_per_call(cfg, 256) == 6
-    assert auto_steps_per_call(cfg, 512) == 6
-    for size in (64, 256, 512):
-        assert auto_steps_per_call(cfg, size) % cfg.update_interval == 0
+    # remat auto resolves ON at >= 256px -> per-step.
+    assert auto_steps_per_call(cfg, 256) == 1
+    assert auto_steps_per_call(cfg, 512) == 1
+    assert auto_steps_per_call(TrainConfig(image_size=512, remat=True),
+                               512) == 1
+    # remat explicitly OFF (the slim fast point) -> the k=6 phase scan.
+    no_remat = TrainConfig(image_size=512, remat=False)
+    assert auto_steps_per_call(no_remat, 256) == 6
+    assert auto_steps_per_call(no_remat, 512) == 6
+    for size, c in ((64, cfg), (256, no_remat), (512, no_remat)):
+        assert auto_steps_per_call(c, size) % c.update_interval == 0
