@@ -292,7 +292,11 @@ def test_use_lean_dis_routing():
 
 def test_cli_xla_copts_validation(tmp_path, monkeypatch):
     """--xla_copts is validated up front (a typo must fail immediately,
-    not minutes into a remote compile) and published to the env knob."""
+    not minutes into a remote compile) — and since the round-3 advisor
+    fix, run_training's finally strips the bad value from the env knob
+    on the error path too (a caller that catches the ValueError must not
+    inherit it; see tests/test_round3_fixes.py for the happy-path
+    restore)."""
     import pytest as _pytest
 
     from discogan_modernized_tpu.cli.image_translation import main
@@ -308,11 +312,11 @@ def test_cli_xla_copts_validation(tmp_path, monkeypatch):
     try:
         with _pytest.raises(ValueError, match="key=value"):
             main(argv)
-        # The flag reached the env knob before validation failed.
-        assert os.environ["DISCOGAN_XLA_COPTS"] == "oops_no_value"
+        # The malformed value must NOT survive the failed run.
+        assert "DISCOGAN_XLA_COPTS" not in os.environ
     finally:
-        # delenv(raising=False) on an UNSET var registers no undo, so the
-        # value main() wrote would leak into later tests' subprocesses.
+        # delenv(raising=False) on an UNSET var registers no undo; keep
+        # later tests' subprocesses clean even if the contract regresses.
         os.environ.pop("DISCOGAN_XLA_COPTS", None)
 
 
