@@ -1,0 +1,99 @@
+"""tools/roofline.py: HLO operand-I/O parser calibration.
+
+The parser must count, at fusion granularity, one HBM read per operand
+and one HBM write per output — the traffic LOWER bound the roofline
+window stands on (PERF.md round 3). Calibrated here against handcrafted
+HLO (exact arithmetic) and live compiled programs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from discogan_modernized_tpu.tools.roofline import (
+    _array_hbm_bytes, _type_hbm_bytes, compiled_report, parse_entry_io)
+
+HLO = """\
+HloModule jit_f, entry_computation_layout={(bf16[256,256]{1,0})->bf16[256,256]{1,0}}
+
+%fused_computation.1 (p0: bf16[256,256], p1: bf16[256,256]) -> bf16[256,256] {
+  %p0 = bf16[256,256]{1,0} parameter(0)
+  %p1 = bf16[256,256]{1,0} parameter(1)
+  ROOT %add.0 = bf16[256,256]{1,0} add(%p0, %p1)
+}
+
+ENTRY %main.1 (a.1: bf16[256,256], b.1: bf16[256,256]) -> bf16[256,256] {
+  %a.1 = bf16[256,256]{1,0:T(8,128)(2,1)} parameter(0)
+  %copy-start = (bf16[256,256]{1,0:T(8,128)(2,1)S(1)}, bf16[256,256]{1,0:T(8,128)(2,1)}, u32[]{:S(2)}) copy-start(%a.1), cross_program_prefetch_index=0
+  %b.1 = bf16[256,256]{1,0:T(8,128)(2,1)} parameter(1)
+  %copy-done = bf16[256,256]{1,0:T(8,128)(2,1)S(1)} copy-done(%copy-start)
+  %c = bf16[256,256]{1,0:T(8,128)(2,1)} constant({...})
+  %async-start.1 = ((bf16[256,256]{1,0:T(8,128)(2,1)}), bf16[256,256]{1,0:T(8,128)(2,1)}, u32[]{:S(2)}) async-start(%c), calls=%fused_computation.1
+  %async-done.1 = bf16[256,256]{1,0:T(8,128)(2,1)} async-done(%async-start.1)
+  ROOT %fusion = bf16[256,256]{1,0:T(8,128)(2,1)} fusion(%copy-done, %b.1, %async-done.1), kind=kOutput, calls=%fused_computation.1, metadata={op_name="jit(f)/dot" source_file="<stdin>" source_line=3}
+}
+"""
+
+MB = 256 * 256 * 2  # one bf16[256,256]
+
+
+def test_handcrafted_hlo_exact():
+    io = parse_entry_io(HLO)
+    # copy-start: reads %a.1 (1 buf), writes nothing (VMEM + alias).
+    # copy-done: in-flight tuple read -> 0, S(1) output -> 0.
+    # async-start: reads %c (constant buffer in HBM -> 1), alias tuple
+    # output -> 0; async-done: reads 0, writes the result (1).
+    # fusion: reads %copy-done (VMEM -> 0), %b.1 (1), %async-done.1 (1),
+    # writes ROOT (1).
+    assert io["io_bytes"] == 6 * MB
+    assert io["n_while"] == 0
+    assert io["n_instructions"] == 5
+
+
+def test_array_bytes_spaces():
+    assert _array_hbm_bytes("bf16[64,32,32,128]{3,2,1,0:T(8,128)(2,1)}") \
+        == 2 * 64 * 32 * 32 * 128
+    assert _array_hbm_bytes("f32[7]") == 28
+    assert _array_hbm_bytes("pred[]") == 1
+    assert _array_hbm_bytes("u32[]{:S(2)}") == 0          # SMEM
+    assert _array_hbm_bytes("bf16[8,8]{1,0:S(1)}") == 0   # VMEM
+    assert _array_hbm_bytes("token[]") == 0
+    assert _type_hbm_bytes("(bf16[2,2]{1,0}, (f32[4]{0}, u32[]{:S(2)}))") \
+        == 8 + 16
+
+
+def test_live_matmul_io():
+    a = jnp.asarray(np.random.RandomState(0).rand(256, 256), jnp.float32)
+    compiled = jax.jit(lambda a, b: a @ b).lower(a, a).compile()
+    io = parse_entry_io(compiled.as_text())
+    exact = 3 * 256 * 256 * 4
+    # Lower bound must hold; backend-inserted copies may add a little.
+    assert exact <= io["io_bytes"] <= 2 * exact
+
+
+def test_live_conv_io_and_report():
+    x = jnp.asarray(np.random.RandomState(0).rand(8, 16, 16, 32), jnp.float32)
+    w = jnp.asarray(np.random.RandomState(1).rand(4, 4, 32, 64), jnp.float32)
+    f = jax.jit(lambda x, w: jax.lax.conv_general_dilated(
+        x, w, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")))
+    compiled = f.lower(x, w).compile()
+    exact = (8 * 16 * 16 * 32 + 4 * 4 * 32 * 64 + 8 * 8 * 8 * 64) * 4
+    io = parse_entry_io(compiled.as_text())
+    assert exact <= io["io_bytes"] <= 2.5 * exact
+    rep = compiled_report(compiled, measured_ms=1.0)
+    assert rep["io_bytes_lo"] == io["io_bytes"]
+    assert rep["roofline_hi_ms"] >= rep["roofline_lo_ms"] > 0
+    assert 0 < rep["light_speed_hi"] <= 1.0
+    if rep["flops"]:  # some CPU builds omit the flops counter
+        ops = 8 * 8 * 8 * 64 * 4 * 4 * 32 * 2
+        assert rep["flops"] == pytest.approx(ops, rel=0.15)
+
+
+def test_while_flagged():
+    def f(x):
+        return jax.lax.fori_loop(0, 4, lambda i, v: v * 1.5 + i, x)
+
+    compiled = jax.jit(f).lower(jnp.ones((128, 128))).compile()
+    io = parse_entry_io(compiled.as_text())
+    assert io["n_while"] >= 1
