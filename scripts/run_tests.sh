@@ -12,7 +12,7 @@ CHUNKS=(
   "tests/test_memory_analysis.py tests/test_paired.py tests/test_lean_dis.py"
   "tests/test_cli.py tests/test_learning.py"
   "tests/test_serve.py tests/test_preemption.py tests/test_pipeline.py tests/test_round2_fixes.py tests/test_round3_fixes.py tests/test_review_fixes.py"
-  "tests/test_hp_search_e2e.py tests/test_tools.py tests/test_pallas.py tests/test_pallas_conv.py tests/test_export.py tests/test_bench_guard.py"
+  "tests/test_hp_search_e2e.py tests/test_tools.py tests/test_pallas.py tests/test_pallas_conv.py tests/test_export.py tests/test_bench_guard.py tests/test_roofline.py"
 )
 
 # Guard: every tests/test_*.py must appear in exactly one chunk, so a new

@@ -97,3 +97,67 @@ def test_while_flagged():
     compiled = jax.jit(f).lower(jnp.ones((128, 128))).compile()
     io = parse_entry_io(compiled.as_text())
     assert io["n_while"] >= 1
+
+
+def _scan_matmul_compiled(k=8, n=256):
+    a = jnp.ones((n, n))
+
+    def f(a):
+        def body(c, _):
+            return c @ a, ()
+        c, _ = jax.lax.scan(body, a, None, length=k)
+        return c
+
+    return jax.jit(f).lower(a).compile()
+
+
+def test_cost_analysis_counts_while_body_once():
+    """The compiled_report per-step normalization stands on this: XLA's
+    cost model reports a while body's flops ONCE, not x trips."""
+    one = jax.jit(lambda a: a @ a).lower(jnp.ones((256, 256))).compile()
+
+    def fl(c):
+        ca = c.cost_analysis()
+        return float((ca[0] if isinstance(ca, list) else ca)["flops"])
+
+    if not fl(one):  # backend omits the counter: nothing to validate
+        pytest.skip("no flops counter on this backend")
+    assert fl(_scan_matmul_compiled()) == pytest.approx(fl(one), rel=0.01)
+
+
+def test_detect_trip_count_and_expansion():
+    from discogan_modernized_tpu.tools.roofline import detect_trip_count
+
+    compiled = _scan_matmul_compiled(k=8, n=256)
+    text = compiled.as_text()
+    assert detect_trip_count(text) == 8
+    per_iter = 3 * 256 * 256 * 4  # read carry + weight, write result
+    io = parse_entry_io(text, trip_count=8)
+    # Expanded io >= 8 true iterations; carry copies may add ~2 buffers
+    # per trip, entry adds a couple more.
+    assert 8 * per_iter <= io["io_bytes"] <= 8 * (per_iter + 3 * 256 * 256 * 4)
+    # Without expansion the body is counted zero times (opaque flag).
+    assert parse_entry_io(text)["io_bytes"] < 8 * per_iter
+
+
+def test_gather_counted_at_output_size():
+    pool = jnp.ones((1024, 64))  # 256 KB pool
+    idx = jnp.arange(8, dtype=jnp.int32)
+    compiled = jax.jit(lambda p, i: jnp.take(p, i, axis=0)).lower(
+        pool, idx).compile()
+    io = parse_entry_io(compiled.as_text())
+    out_bytes = 8 * 64 * 4
+    # Must NOT count the whole 256 KB pool as read.
+    assert io["io_bytes"] < pool.size * 4
+    assert io["io_bytes"] >= out_bytes
+
+
+def test_conditional_flagged():
+    def f(p, x):
+        return jax.lax.cond(p, lambda v: v * 2.0, lambda v: v + 1.0, x)
+
+    compiled = jax.jit(f).lower(True, jnp.ones((64, 64))).compile()
+    io = parse_entry_io(compiled.as_text())
+    # CPU XLA may lower small conds to select; either flag or fold is fine,
+    # but the key must exist and parsing must not crash.
+    assert "n_conditional" in io
