@@ -152,6 +152,53 @@ def test_gather_counted_at_output_size():
     assert io["io_bytes"] >= out_bytes
 
 
+@pytest.mark.slow
+def test_scan_program_per_step_matches_weighted_branches():
+    """The production fused-scan program's PER-STEP flops and operand-I/O
+    lower bound must track the update-interval-weighted per-branch
+    programs: flops within 10% (same math), io at or below (the scan body
+    does not pay the standalone programs' whole-state write-out)."""
+    from discogan_modernized_tpu.tools.roofline import (
+        compiled_report, detect_trip_count)
+    from discogan_modernized_tpu.train import TrainConfig, init_train_state
+    from discogan_modernized_tpu.train.step import (
+        make_scan_train_step, make_train_steps, scan_variant)
+
+    cfg = TrainConfig(image_size=16, lean_dis=False)
+    ts = jax.eval_shape(lambda k: init_train_state(k, cfg),
+                        jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    A = jnp.asarray(rng.rand(8, 16, 16, 3), jnp.float32)
+    B = jnp.asarray(rng.rand(8, 16, 16, 3), jnp.float32)
+    gen_step, dis_step = make_train_steps(cfg)
+    reps = {}
+    for name, step in [("gen", gen_step), ("dis", dis_step)]:
+        reps[name] = compiled_report(
+            step.lower(ts, A, B, jnp.float32(0.5)).compile())
+
+    k, ui = 6, cfg.update_interval
+    variant = scan_variant(cfg, ui, k)
+    pool = 4 * 8
+    dA = jnp.asarray(rng.rand(pool, 16, 16, 3), jnp.float32)
+    dB = jnp.asarray(rng.rand(pool, 16, 16, 3), jnp.float32)
+    idx = jnp.asarray(rng.randint(0, pool, size=(2, k, 8)), jnp.int32)
+    multi = make_scan_train_step(cfg, steps=k, variant=variant)
+    compiled = multi.lower(ts, dA, dB, idx[0], idx[1],
+                           jnp.int32(ui)).compile()
+    trips = detect_trip_count(compiled.as_text())
+    assert trips is not None
+    steps_per_trip = k / trips
+    rep = compiled_report(compiled, trip_count=trips)
+
+    w = lambda key: ((ui - 1) * reps["gen"][key] + reps["dis"][key]) / ui
+    flops_step = rep["flops"] / steps_per_trip
+    io_step = rep["io_bytes_lo"] / steps_per_trip
+    if flops_step and w("flops"):
+        assert flops_step == pytest.approx(w("flops"), rel=0.10)
+    # Small-shape CPU lowering adds per-trip carry copies; allow 1.3x.
+    assert io_step <= 1.3 * w("io_bytes_lo")
+
+
 def test_conditional_flagged():
     def f(p, x):
         return jax.lax.cond(p, lambda v: v * 2.0, lambda v: v + 1.0, x)
