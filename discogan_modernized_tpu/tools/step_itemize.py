@@ -585,9 +585,27 @@ def main(argv=None):
     ap.add_argument("--slim", type=str, default="mv")
     ap.add_argument("--lean", action=argparse.BooleanOptionalAction,
                     default=True)
+    ap.add_argument("--remat", choices=["auto", "on", "off"],
+                    default="auto",
+                    help="512px fast point runs remat OFF (the layer "
+                         "multiplicities assume no forward recompute); "
+                         "auto would turn it on at >=256px")
     ap.add_argument("--skip_layers", action="store_true",
                     help="only the 4 program-level chains")
+    ap.add_argument("--win_scale", type=float, default=None,
+                    help="divide every chain window by this; default "
+                         "auto = (size^2*batch)/(64^2*64) so 512px runs "
+                         "in minutes, not hours (per-op cost scales "
+                         "with pixels*batch; the differenced marginal "
+                         "only needs to clear the ~30ms dispatch floor)")
     args = ap.parse_args(argv)
+
+    w = args.win_scale
+    if w is None:
+        w = max(1.0, (args.image_size / 64) ** 2 * (args.batch / 64))
+
+    def win(n, lo):
+        return max(lo, round(n / w))
 
     import jax
     import jax.numpy as jnp
@@ -599,7 +617,9 @@ def main(argv=None):
     from ..train.step import TrainConfig
 
     cfg = TrainConfig(image_size=args.image_size, model_arch="discogan",
-                      slim_state=args.slim, lean_dis=args.lean)
+                      slim_state=args.slim, lean_dis=args.lean,
+                      remat={"auto": None, "on": True,
+                             "off": False}[args.remat])
     policy = default_policy(cfg.precision)
     rng = np.random.RandomState(0)
     A = jnp.asarray(rng.rand(args.batch, args.image_size, args.image_size,
@@ -607,19 +627,24 @@ def main(argv=None):
     B = jnp.asarray(rng.rand(args.batch, args.image_size, args.image_size,
                              3), jnp.float32)
 
+    fwd_w = dict(n1=win(5, 2), n2=win(105, 8))
+    chain_w = dict(n1=win(5, 2), n2=win(55, 8))
+    adam_w = dict(n1=win(10, 3), n2=win(210, 12))
+
     out = {}
-    out["t_fwd_ms"] = forward_chain_time(cfg, A, B) * 1e3
+    out["t_fwd_ms"] = forward_chain_time(cfg, A, B, **fwd_w) * 1e3
     print(json.dumps({"t_fwd_ms": round(out["t_fwd_ms"], 3)}), flush=True)
-    out["t_fwd_lean_ms"] = (forward_chain_time(cfg, A, B, dis_only=True)
+    out["t_fwd_lean_ms"] = (forward_chain_time(cfg, A, B, dis_only=True,
+                                               **fwd_w)
                             * 1e3 if cfg.lean_dis else out["t_fwd_ms"])
     if cfg.lean_dis:
         print(json.dumps({"t_fwd_lean_ms": round(out["t_fwd_lean_ms"], 3)}),
               flush=True)
     for which in ("gen", "dis"):
         t_fwd = out["t_fwd_ms" if which == "gen" else "t_fwd_lean_ms"]
-        t_step = step_chain_time(cfg, which, A, B) * 1e3
-        t_grad = grad_chain_time(cfg, which, A, B) * 1e3
-        t_adam = adam_chain_time(cfg, which) * 1e3
+        t_step = step_chain_time(cfg, which, A, B, **chain_w) * 1e3
+        t_grad = grad_chain_time(cfg, which, A, B, **chain_w) * 1e3
+        t_adam = adam_chain_time(cfg, which, **adam_w) * 1e3
         out[f"t_step_{which}_ms"] = t_step
         out[f"t_grad_{which}_ms"] = t_grad
         out[f"t_adam_{which}_ms"] = t_adam
@@ -632,7 +657,8 @@ def main(argv=None):
 
     if not args.skip_layers:
         acc = conv_accounting(args.image_size, args.batch,
-                              policy.compute_dtype)
+                              policy.compute_dtype,
+                              n1=win(100, 3), n2=win(1100, 24))
         out.update(acc)
         for which in ("gen", "dis"):
             step_ms = out[f"t_step_{which}_ms"]
