@@ -134,6 +134,10 @@ def conv_transpose2d(x, w, *, stride: int, padding: int, policy=None):
     but a LOSS on wide layers (the depth-to-space relayout costs an extra
     HBM pass while XLA's dilated emitter handles wide outputs well), so
     it is gated to out_ch <= 16. DISCOGAN_SUBPIXEL=0 disables.
+    DISCOGAN_SUBPIXEL_WIDE=1 lifts the out_ch gate (A/B knob: at 512px
+    the step is compute-bound, so the relayout HBM pass that made wide
+    subpixel lose at 64px may be free there if the dilated emitter pays
+    MACs on the zero positions).
     """
     if policy is not None:
         x = x.astype(policy.compute_dtype)
@@ -141,7 +145,9 @@ def conv_transpose2d(x, w, *, stride: int, padding: int, policy=None):
     else:
         w = w.astype(x.dtype)
     k = w.shape[0]
-    if (k == 4 and stride == 2 and padding == 1 and w.shape[-1] <= 16
+    wide_ok = (w.shape[-1] <= 16
+               or os.environ.get("DISCOGAN_SUBPIXEL_WIDE", "0") == "1")
+    if (k == 4 and stride == 2 and padding == 1 and wide_ok
             and os.environ.get("DISCOGAN_SUBPIXEL", "1") != "0"):
         return _conv_transpose_subpixel(x, w)
     pad = k - 1 - padding

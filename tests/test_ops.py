@@ -41,6 +41,39 @@ def test_conv_transpose2d_matches_torch_s2p1():
     np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
 
 
+def test_conv_transpose2d_wide_subpixel_matches_torch(monkeypatch):
+    """DISCOGAN_SUBPIXEL_WIDE=1 lifts the out_ch<=16 gate: a WIDE k4s2p1
+    convT must still be exact through the subpixel decomposition, forward
+    and both grads (the 512px compute-bound A/B knob, ops/conv.py)."""
+    import jax
+
+    monkeypatch.setenv("DISCOGAN_SUBPIXEL_WIDE", "1")
+    x = rng.rand(2, 8, 8, 24).astype(np.float32)
+    w = rng.randn(4, 4, 24, 32).astype(np.float32) * 0.1
+    f = lambda x, w: conv_transpose2d(x, w, stride=2, padding=1)
+    ours = np.asarray(f(jnp.asarray(x), jnp.asarray(w)))
+    wt = torch.from_numpy(w.transpose(2, 3, 0, 1))
+    ref = TF.conv_transpose2d(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), wt, stride=2, padding=1
+    ).numpy().transpose(0, 2, 3, 1)
+    assert ours.shape == ref.shape == (2, 16, 16, 32)
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+
+    dy = rng.randn(*ref.shape).astype(np.float32)
+    loss = lambda x, w: jnp.sum(f(x, w) * jnp.asarray(dy))
+    dx, dw = jax.grad(loss, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(w))
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2)).requires_grad_(True)
+    wt = wt.detach().requires_grad_(True)
+    out = TF.conv_transpose2d(xt, wt, stride=2, padding=1)
+    out.backward(torch.from_numpy(dy.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(dx),
+                               xt.grad.numpy().transpose(0, 2, 3, 1),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dw),
+                               wt.grad.numpy().transpose(2, 3, 0, 1),
+                               atol=2e-4, rtol=1e-4)
+
+
 def test_conv_transpose2d_matches_torch_valid_latent():
     """The 1->4 latent expansion: ConvTranspose2d(k=4, s=1, p=0)."""
     x = rng.rand(3, 1, 1, 10).astype(np.float32)
