@@ -191,8 +191,14 @@ def add_common_flags(parser: argparse.ArgumentParser, *, task_default: str,
                              'wins when both are set.')
     parser.add_argument('--remat', type=str, default=None,
                         choices=['on', 'off'],
-                        help='Activation rematerialization (default: auto, '
-                             'on for image_size >= 256)')
+                        help='Activation rematerialization (default: auto — '
+                             'at >= 256px the trainer first probe-compiles '
+                             'the no-remat fused scan and uses it when it '
+                             'fits HBM (slim mv fits 512px b32, ~+22%% over '
+                             'the remat-on per-step route, identical '
+                             'trajectory), falling back to remat-on '
+                             'per-step otherwise; DISCOGAN_AUTO_REMAT=0 '
+                             'forces the unconditional remat-on auto)')
     parser.add_argument('--remat_policy', type=str, default=None,
                         choices=['full', 'latent', 'conv'],
                         help='(extension) remat granularity: full = save '

@@ -485,6 +485,9 @@ def _run_training(args, *, angle_variant: bool = False, distributed: bool = Fals
         # reads per-iteration losses out of the stacked result) is preserved.
         steps_per_call = getattr(args, "steps_per_call", None)
         dp_scan = False
+        # Set when auto-remat optimistically resolved to the no-remat scan;
+        # holds the pre-candidate cfg so fallbacks restore remat-on.
+        cfg_before_auto_remat = None
         if mesh is None:
             scan_eligible = n_proc == 1 and loader.device_cache
         elif parallel_mode == "dp":
@@ -526,6 +529,23 @@ def _run_training(args, *, angle_variant: bool = False, distributed: bool = Fals
                 from .step import auto_steps_per_call
 
                 steps_per_call = auto_steps_per_call(cfg, args.image_size)
+                # Round-3 memory-aware auto-remat: when --remat is unset
+                # at a large size, ATTEMPT the no-remat fused scan first
+                # (slim mv, the default state mode, fits 512px b32
+                # without remat — measured ~+22% over the remat-on
+                # per-step route, identical weight trajectory). The
+                # abstract probe below is the arbiter: a compile-OOM
+                # reverts to the remat-on per-step path. DP-scan keeps
+                # the conservative remat-on auto (no abstract probe
+                # under a mesh — a runtime fallback there would also
+                # abandon the sharded device dataset).
+                if not dp_scan:
+                    from .step import auto_remat_scan_candidate
+
+                    cand = auto_remat_scan_candidate(cfg, args.image_size)
+                    if cand is not None and cand[1] > 1:
+                        cfg_before_auto_remat = cfg
+                        cfg, steps_per_call = cand
             else:
                 steps_per_call = 1
         if steps_per_call > 1 and scan_eligible:
@@ -558,7 +578,9 @@ def _run_training(args, *, angle_variant: bool = False, distributed: bool = Fals
             # DP-scan skips the probe: its abstract avals would need mesh
             # shardings; the runtime try/except fallback below covers it
             # (donated buffers are untouched on a compile failure).
-            if args.image_size >= 256 and not dp_scan:
+            from . import step as _step
+
+            if args.image_size >= _step.LARGE_IMAGE and not dp_scan:
                 sds = jax.ShapeDtypeStruct
                 nA, nB = len(loader.data_A), len(loader.data_B)
                 sz, bs = args.image_size, args.batch_size
@@ -579,9 +601,21 @@ def _run_training(args, *, angle_variant: bool = False, distributed: bool = Fals
                     scan_prog(steps_per_call,
                               scan_variant(cfg, iters, steps_per_call)
                               ).lower(*abstract).compile()
+                    if cfg_before_auto_remat is not None:
+                        print(f"auto-remat: no-remat fused scan fits at "
+                              f"{args.image_size}px (probe compile OK) — "
+                              f"remat off, steps_per_call={steps_per_call}")
                 except Exception as e:
+                    extra = ""
+                    if cfg_before_auto_remat is not None:
+                        # The optimistic no-remat program didn't fit —
+                        # restore auto-remat's remat-on resolution for the
+                        # per-step fallback (its programs were built from
+                        # the pre-candidate cfg above and are untouched).
+                        cfg = cfg_before_auto_remat
+                        extra = " (auto-remat: no-remat 스캔 부적합 — remat-on)"
                     print(f"경고: 다단계 scan 프로그램 컴파일 실패 — 단일 스텝 "
-                          f"경로로 폴백합니다 "
+                          f"경로로 폴백합니다{extra} "
                           f"({type(e).__name__}: {str(e)[:120]})")
                     scan_progs.clear()
                     loader.release_device_cache()
@@ -673,6 +707,8 @@ def _run_training(args, *, angle_variant: bool = False, distributed: bool = Fals
                     if any(getattr(x, "is_deleted", lambda: False)()
                            for x in jax.tree.leaves(ts)):
                         raise
+                    if cfg_before_auto_remat is not None:
+                        cfg = cfg_before_auto_remat
                     print(f"경고: 다단계 scan 프로그램 컴파일 실패 — "
                           f"단일 스텝 경로로 폴백합니다 "
                           f"({type(e).__name__}: {str(e)[:120]})")

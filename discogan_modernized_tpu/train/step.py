@@ -34,6 +34,14 @@ from ..models.discriminator import discriminator_init
 from .graph import discogan_losses, mix_losses, trainable_subsets
 from .optim import adam_init, adam_update
 
+# Image sizes >= this are the "large" regime: remat defaults on (8 network
+# forwards' activations + the optimizer state exceed a 16GB v5e chip at
+# f32 state), scan chunking switches from ~24 steps to 2 update periods,
+# and the trainer probe-compiles before committing HBM. Module-level so
+# tests can monkeypatch the threshold instead of paying real >=256px
+# compiles on the CPU backend.
+LARGE_IMAGE = 256
+
 
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
@@ -112,7 +120,8 @@ class TrainConfig:
 
     @property
     def use_remat(self) -> bool:
-        return self.image_size >= 256 if self.remat is None else self.remat
+        return (self.image_size >= LARGE_IMAGE if self.remat is None
+                else self.remat)
 
     def rate_for(self, iters: int) -> float:
         """Curriculum rate (ref image_translation.py:367)."""
@@ -417,10 +426,35 @@ def auto_steps_per_call(cfg: TrainConfig, image_size: int) -> int:
     round 3 "faithful 512px") — remat-on large sizes return 1
     (per-step)."""
     ui = cfg.update_interval
-    if image_size <= 128:
+    if image_size < LARGE_IMAGE:  # small regime: ~24-step chunks
         return max(ui, (24 // ui) * ui)
-    use_remat = (image_size >= 256) if cfg.remat is None else cfg.remat
+    use_remat = (image_size >= LARGE_IMAGE) if cfg.remat is None else cfg.remat
     return 1 if use_remat else 2 * ui
+
+
+def auto_remat_scan_candidate(cfg: TrainConfig, image_size: int):
+    """(cfg_noremat, steps_per_call) when the trainer should ATTEMPT the
+    no-remat fused scan at a large size before settling for the remat-on
+    per-step path, else None.
+
+    Round 3: with the slim_state=mv default, 512px b32 fits HBM with
+    remat OFF — and the no-remat k=6 phase scan measured ~+22% over the
+    remat-on per-step route (PERF.md) with an identical weight
+    trajectory (remat is pure recompute). So when --remat is unset, the
+    trainer optimistically resolves auto-remat to OFF and lets its
+    abstract probe compile decide: a geometry that exceeds HBM falls
+    back to the remat-on per-step path, exactly the round-2 default.
+    DISCOGAN_AUTO_REMAT=0 restores the unconditional remat-on auto.
+    """
+    if cfg.remat is not None or image_size < LARGE_IMAGE:
+        return None
+    if cfg.remat_policy not in (None, "full"):
+        # An explicit remat granularity implies the user wants remat.
+        return None
+    if os.environ.get("DISCOGAN_AUTO_REMAT", "1") == "0":
+        return None
+    cfg_off = dataclasses.replace(cfg, remat=False)
+    return cfg_off, auto_steps_per_call(cfg_off, image_size)
 
 
 def scan_variants_for_range(cfg: TrainConfig, it0: int, n: int,
