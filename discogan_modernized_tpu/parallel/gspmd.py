@@ -184,6 +184,136 @@ def _make_gspmd_wrap(mesh, spatial: bool):
     return wrap
 
 
+def make_gspmd_scan_train_step(cfg: TrainConfig, mesh, *, steps: int,
+                               policy: Policy | None = None, jit: bool = True,
+                               compiler_options: dict | None = None,
+                               variant: str = "switch", spatial: bool = False):
+    """The fused multi-step scan program under GSPMD TP/spatial sharding
+    (round 4, VERDICT r3 item 5: the fast input path — HBM-resident
+    dataset + on-device batch gather + one dispatch per k iterations —
+    previously existed only single-device and under shard_map DP).
+
+    (ts, data_A, data_B, idx_A, idx_B, iters0) -> (ts, losses), the same
+    contract as make_scan_train_step / make_dp_scan_train_step:
+      data_A/data_B: (N, H, W, 3) decoded datasets laid out P(data) —
+                     row-sharded over the data axis, replicated across the
+                     model axis (each model-group shares its data-group's
+                     rows; HBM cost scales 1/data like DP).
+      idx_A/idx_B:   (steps, batch) int32, P(None, data) — column block j
+                     holds LOCAL indices into data shard j (the same
+                     per-shard index streams PrefetchLoader.
+                     sharded_epoch_indices emits for DP-scan).
+      iters0:        replicated scalar.
+
+    The batch gather runs inside a data-axis-MANUAL shard_map
+    (jax.shard_map(axis_names={data})): each device gathers from its own
+    resident shard with local indices — no cross-shard gather lowering,
+    no all-gather of the dataset — while the model axis stays AUTO so the
+    step body keeps its GSPMD semantics (channel-sharded kernels in TP
+    mode, height sharding + halo exchange in spatial mode, global-batch
+    BN). Gathered batches are constrained to the per-mode batch layout
+    before entering the step.
+
+    Ref analog: the reference feeds every rank a full host-side input
+    pipeline per step (distributed_image_translation.py:203-216); here
+    the dataset is resident and the gather is device-local.
+
+    spatial=True builds and runs, and single-call losses agree with the
+    per-step spatial programs to ~3e-5 — but the trainer does NOT route
+    it (train/loop.py): under the scan body the spatial partitioner
+    diverges the latent/enc0 weight gradients 0.013-0.033 in the first
+    Adam moment (vs the <2e-3 reduction-order envelope; variant-
+    independent; "[SPMD] Involuntary full rematerialization" warnings on
+    the latent backward), the same fragile-pin class test_gspmd's m-gate
+    guards against. Measured round 4, PERF.md.
+    """
+    import jax.numpy as jnp
+
+    from ..train.step import scan_multi_body
+
+    cfg_sp = dataclasses.replace(cfg, axis_name=None)
+    policy = policy or default_policy(cfg.precision)
+    gen = _make_branch(cfg_sp, policy, "gen")
+    dis = _make_branch(cfg_sp, policy, "dis")
+    lean = (_make_branch(cfg_sp, policy, "dis", lean=True)
+            if cfg.lean_dis else None)
+    tp = mesh.shape[MODEL_AXIS]
+
+    batch_spec = (P(DATA_AXIS, MODEL_AXIS) if spatial else P(DATA_AXIS))
+
+    def take(data, idx):
+        # Manual over the data axis only: the local gather semantics of
+        # parallel/dp.py, composed with an auto model axis.
+        local = jax.shard_map(
+            lambda d, i: jnp.take(d, i, axis=0),
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS),
+            axis_names={DATA_AXIS},
+        )(data, idx)
+        return jax.lax.with_sharding_constraint(
+            local, NamedSharding(mesh, batch_spec))
+
+    multi_raw = scan_multi_body(cfg, gen, dis, lean, steps, variant=variant,
+                                take=take)
+
+    if not spatial:
+        multi = multi_raw
+    else:
+        def multi(ts, data_A, data_B, idx_A, idx_B, iters0):
+            # Same latent-activation pins as the per-step spatial wrap
+            # (_make_gspmd_wrap): without them the partitioner
+            # re-materializes the 1x1 latent layouts per backward.
+            from ..ops.sharding import (set_latent_constraint,
+                                        reset_latent_constraint)
+
+            def pin(x):
+                spec = (P(DATA_AXIS, None, None, MODEL_AXIS)
+                        if x.shape[-1] % tp == 0
+                        else P(DATA_AXIS))
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, spec))
+
+            token = set_latent_constraint(pin)
+            try:
+                return multi_raw(ts, data_A, data_B, idx_A, idx_B, iters0)
+            finally:
+                reset_latent_constraint(token)
+
+    if not jit:
+        return multi
+
+    if compiler_options is None:
+        compiler_options = env_compiler_options()
+
+    def jit_with(ts):
+        if spatial:
+            ts_sh = jax.tree.map(lambda _: NamedSharding(mesh, P()), ts)
+        else:
+            ts_sh = train_state_shardings(ts, mesh)
+        data_sh = NamedSharding(mesh, P(DATA_AXIS))
+        idx_sh = NamedSharding(mesh, P(None, DATA_AXIS))
+        scalar = NamedSharding(mesh, P())
+        return jax.jit(
+            multi,
+            in_shardings=(ts_sh, data_sh, data_sh, idx_sh, idx_sh, scalar),
+            out_shardings=(ts_sh, scalar),
+            donate_argnums=(0,),
+            compiler_options=compiler_options,
+        )
+
+    compiled = {}
+
+    def step(ts, data_A, data_B, idx_A, idx_B, iters0):
+        key = jax.tree.structure(ts)
+        if key not in compiled:
+            compiled[key] = jit_with(ts)
+        return compiled[key](ts, data_A, data_B, idx_A, idx_B, iters0)
+
+    step.jit_for = jit_with
+    return step
+
+
 def make_gspmd_lean_dis_step(cfg: TrainConfig, mesh,
                              policy: Policy | None = None, *,
                              spatial: bool = False):

@@ -465,9 +465,14 @@ def time_layer_epilogue(kind, size, cin, cout, batch, dtype, epi, timed):
 
         return chain
 
-    def make_chain_vjp(f, dy):
-        @functools.partial(jax.jit, static_argnums=(4,))
-        def chain(x, w, scale, bias, length):
+    def make_chain_vjp(f):
+        # dy is an ARGUMENT, not a closure: a closed-over concrete array
+        # becomes an HLO constant, and at 512px shapes (enc0 dy = 268 MB
+        # bf16) the serialized module exceeds the remote-compile service's
+        # upload limit (HTTP 413, observed round 4). The conv chains
+        # (chain_dx/chain_dw) already thread dy for the same reason.
+        @functools.partial(jax.jit, static_argnums=(5,))
+        def chain(x, w, scale, bias, dy, length):
             def body(carry, _):
                 x, w, scale, bias = carry
                 out, vjp = jax.vjp(f, x, w, scale, bias)
@@ -496,8 +501,8 @@ def time_layer_epilogue(kind, size, cin, cout, batch, dtype, epi, timed):
 
     t_bf = timed(make_chain_fwd(bare), x, w, scale, bias)
     t_cf = timed(make_chain_fwd(comp), x, w, scale, bias)
-    t_bv = timed(make_chain_vjp(bare, dy_b), x, w, scale, bias)
-    t_cv = timed(make_chain_vjp(comp, dy_c), x, w, scale, bias)
+    t_bv = timed(make_chain_vjp(bare), x, w, scale, bias, dy_b)
+    t_cv = timed(make_chain_vjp(comp), x, w, scale, bias, dy_c)
 
     epi_fwd = (t_cf - t_bf) * 1e6
     epi_bwd = ((t_cv - t_bv) - (t_cf - t_bf)) * 1e6

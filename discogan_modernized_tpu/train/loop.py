@@ -85,9 +85,11 @@ def config_from_args(args, angle_variant: bool) -> TrainConfig:
         bn_sync=bool(getattr(args, "bn_sync", False)),
         paired=bool(getattr(args, "paired", False)),
         remat={"on": True, "off": False, None: None}[getattr(args, "remat", None)],
-        remat_policy={"full": None}.get(
-            getattr(args, "remat_policy", None),
-            getattr(args, "remat_policy", None)),
+        # "full" passes through unchanged: graph.py treats it like None
+        # (save only inputs/outputs), but auto_remat_scan_candidate reads
+        # an explicitly-passed policy — ANY policy, "full" included — as
+        # opting into remat (advisor round 3).
+        remat_policy=getattr(args, "remat_policy", None),
         lean_dis=bool(getattr(args, "lean_dis", False)),
         log_interval=args.log_interval,
         # Trainer default: explicit --slim_state wins; with the flag
@@ -485,6 +487,7 @@ def _run_training(args, *, angle_variant: bool = False, distributed: bool = Fals
         # reads per-iteration losses out of the stacked result) is preserved.
         steps_per_call = getattr(args, "steps_per_call", None)
         dp_scan = False
+        gspmd_scan = False
         # Set when auto-remat optimistically resolved to the no-remat scan;
         # holds the pre-candidate cfg so fallbacks restore remat-on.
         cfg_before_auto_remat = None
@@ -507,8 +510,28 @@ def _run_training(args, *, angle_variant: bool = False, distributed: bool = Fals
                        and args.batch_size % n_local_sh == 0
                        and loader._fits_device_budget(n_shards=n_local_sh))
             scan_eligible = dp_scan
-        else:  # gspmd/spatial: model-axis sharding not wired into the scan
-            scan_eligible = False
+        else:  # gspmd/spatial (round 4): data-axis-sharded dataset + scan,
+            # batch gather manual over the data axis, model axis auto
+            # (parallel/gspmd.py make_gspmd_scan_train_step). Single-process
+            # only — multi-host GSPMD keeps the host-fed per-step path.
+            # SPATIAL is measured-and-declined: under the scan the
+            # partitioner diverges the latent/enc0 gradients 0.013-0.033
+            # in the first Adam moment (vs the <2e-3 reduction-order
+            # envelope every routed mode holds; variant-independent —
+            # PERF.md round 4), the same fragile-pin class test_gspmd's
+            # m-gate guards. TP (gspmd) measured clean and routes.
+            from ..core.mesh import DATA_AXIS
+
+            n_local_sh = mesh.shape[DATA_AXIS]
+            gspmd_scan = (parallel_mode == "gspmd"
+                          and n_proc == 1
+                          and not getattr(args, "no_device_cache", False)
+                          and os.environ.get("DISCOGAN_DEVICE_CACHE", "1")
+                          != "0"
+                          and args.batch_size % n_local_sh == 0
+                          and loader._fits_device_budget(
+                              n_shards=n_local_sh))
+            scan_eligible = gspmd_scan
         if steps_per_call is None:
             # Auto: ~24 steps per call at small sizes, 2 whole G/D update
             # periods at >= 256px with remat OFF — chunks stay
@@ -535,17 +558,16 @@ def _run_training(args, *, angle_variant: bool = False, distributed: bool = Fals
                 # without remat — measured ~+22% over the remat-on
                 # per-step route, identical weight trajectory). The
                 # abstract probe below is the arbiter: a compile-OOM
-                # reverts to the remat-on per-step path. DP-scan keeps
-                # the conservative remat-on auto (no abstract probe
-                # under a mesh — a runtime fallback there would also
-                # abandon the sharded device dataset).
-                if not dp_scan:
-                    from .step import auto_remat_scan_candidate
+                # reverts to the remat-on per-step path. Round 4: the
+                # probe builds mesh-sharded avals for DP-scan, so the
+                # same optimistic resolution applies under a mesh —
+                # nothing is allocated before the probe passes.
+                from .step import auto_remat_scan_candidate
 
-                    cand = auto_remat_scan_candidate(cfg, args.image_size)
-                    if cand is not None and cand[1] > 1:
-                        cfg_before_auto_remat = cfg
-                        cfg, steps_per_call = cand
+                cand = auto_remat_scan_candidate(cfg, args.image_size)
+                if cand is not None and cand[1] > 1:
+                    cfg_before_auto_remat = cfg
+                    cfg, steps_per_call = cand
             else:
                 steps_per_call = 1
         if steps_per_call > 1 and scan_eligible:
@@ -560,6 +582,13 @@ def _run_training(args, *, angle_variant: bool = False, distributed: bool = Fals
 
                         scan_progs[k, variant] = make_dp_scan_train_step(
                             cfg, mesh, steps=k, variant=variant)
+                    elif gspmd_scan:
+                        from ..parallel.gspmd import (
+                            make_gspmd_scan_train_step)
+
+                        scan_progs[k, variant] = make_gspmd_scan_train_step(
+                            cfg, mesh, steps=k, variant=variant,
+                            spatial=(parallel_mode == "spatial"))
                     else:
                         scan_progs[k, variant] = make_scan_train_step(
                             cfg, steps=k, variant=variant)
@@ -575,32 +604,82 @@ def _run_training(args, *, angle_variant: bool = False, distributed: bool = Fals
             # sizes never compile-OOM and would pay the probe as a
             # duplicate compile on fast-compile backends (CPU tests fall
             # under the 1s persistent-cache floor).
-            # DP-scan skips the probe: its abstract avals would need mesh
-            # shardings; the runtime try/except fallback below covers it
-            # (donated buffers are untouched on a compile failure).
+            # DP-scan probes too (round 4, VERDICT r3 item 6): its avals
+            # carry mesh shardings (ShapeDtypeStruct(sharding=...)), so a
+            # compile-OOM at >= 256px under a mesh is discovered BEFORE
+            # device_data_sharded allocates anything — same probe-first
+            # discipline as the single-device path.
             from . import step as _step
 
-            if args.image_size >= _step.LARGE_IMAGE and not dp_scan:
+            if args.image_size >= _step.LARGE_IMAGE:
                 sds = jax.ShapeDtypeStruct
-                nA, nB = len(loader.data_A), len(loader.data_B)
                 sz, bs = args.image_size, args.batch_size
                 # Probe with the loader's ACTUAL device-dataset dtype: with
                 # DISCOGAN_DEVICE_CACHE_BF16=1 the HBM dataset is bf16, and a
                 # f32-typed probe would validate a program that never runs
                 # while the real bf16 program compiles unprobed.
                 ddt = loader._device_dtype()
-                abstract = (
-                    jax.tree.map(lambda x: sds(x.shape, x.dtype), ts),
-                    sds((nA, sz, sz, 3), ddt),
-                    sds((nB, sz, sz, 3), ddt),
-                    sds((steps_per_call, bs), jnp.int32),
-                    sds((steps_per_call, bs), jnp.int32),
-                    sds((), jnp.int32),
-                )
+                if dp_scan:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+                    from ..core.mesh import DATA_AXIS
+                    from ..parallel.dp import _ts_specs
+
+                    # Global shapes mirror what device_data_sharded /
+                    # sharded_epoch_indices will build: per-process rows
+                    # truncated to a multiple of the local device count,
+                    # assembled across processes; index rows are
+                    # (k, local_batch) per process, P(None, data) global.
+                    nA = (len(loader.data_A) // n_local_sh) * n_local_sh * n_proc
+                    nB = (len(loader.data_B) // n_local_sh) * n_local_sh * n_proc
+                    gbs = bs * n_proc
+                    specs = _ts_specs(cfg)
+                    abstract = (
+                        {k: jax.tree.map(
+                            lambda x, s=NamedSharding(mesh, specs[k]):
+                                sds(x.shape, x.dtype, sharding=s), ts[k])
+                         for k in ts},
+                        sds((nA, sz, sz, 3), ddt,
+                            sharding=NamedSharding(mesh, P(DATA_AXIS))),
+                        sds((nB, sz, sz, 3), ddt,
+                            sharding=NamedSharding(mesh, P(DATA_AXIS))),
+                        sds((steps_per_call, gbs), jnp.int32,
+                            sharding=NamedSharding(mesh, P(None, DATA_AXIS))),
+                        sds((steps_per_call, gbs), jnp.int32,
+                            sharding=NamedSharding(mesh, P(None, DATA_AXIS))),
+                        sds((), jnp.int32,
+                            sharding=NamedSharding(mesh, P())),
+                    )
+                elif gspmd_scan:
+                    # Shapes mirror device_data_sharded on this mesh
+                    # (single-process: rows truncated to the data-axis
+                    # size). Avals stay unsharded — the gspmd scan jit
+                    # pins its own in_shardings (jit_for below).
+                    nA = (len(loader.data_A) // n_local_sh) * n_local_sh
+                    nB = (len(loader.data_B) // n_local_sh) * n_local_sh
+                    abstract = (
+                        jax.tree.map(lambda x: sds(x.shape, x.dtype), ts),
+                        sds((nA, sz, sz, 3), ddt),
+                        sds((nB, sz, sz, 3), ddt),
+                        sds((steps_per_call, bs), jnp.int32),
+                        sds((steps_per_call, bs), jnp.int32),
+                        sds((), jnp.int32),
+                    )
+                else:
+                    nA, nB = len(loader.data_A), len(loader.data_B)
+                    abstract = (
+                        jax.tree.map(lambda x: sds(x.shape, x.dtype), ts),
+                        sds((nA, sz, sz, 3), ddt),
+                        sds((nB, sz, sz, 3), ddt),
+                        sds((steps_per_call, bs), jnp.int32),
+                        sds((steps_per_call, bs), jnp.int32),
+                        sds((), jnp.int32),
+                    )
                 try:
-                    scan_prog(steps_per_call,
-                              scan_variant(cfg, iters, steps_per_call)
-                              ).lower(*abstract).compile()
+                    prog = scan_prog(steps_per_call,
+                                     scan_variant(cfg, iters, steps_per_call))
+                    if hasattr(prog, "jit_for"):  # gspmd scan wrapper
+                        prog = prog.jit_for(abstract[0])
+                    prog.lower(*abstract).compile()
                     if cfg_before_auto_remat is not None:
                         print(f"auto-remat: no-remat fused scan fits at "
                               f"{args.image_size}px (probe compile OK) — "
@@ -622,12 +701,22 @@ def _run_training(args, *, angle_variant: bool = False, distributed: bool = Fals
                     scan_eligible = False
 
         if steps_per_call > 1 and scan_eligible:
-            if dp_scan:
+            if dp_scan or gspmd_scan:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 from ..core.mesh import DATA_AXIS
 
                 dev_A, dev_B, L_A, L_B = loader.device_data_sharded(mesh)
                 idx_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+                if is_main:
+                    # Routed-path marker (asserted by
+                    # tests/test_multihost.py): the sharded-HBM-dataset +
+                    # fused-scan input path is live, with the shard layout
+                    # it built.
+                    print(f"fast input path: sharded HBM dataset + "
+                          f"{'DP' if dp_scan else parallel_mode}-scan "
+                          f"(data shards={mesh.shape[DATA_AXIS]}, "
+                          f"shard_len=({L_A},{L_B}), "
+                          f"steps_per_call={steps_per_call})")
 
                 def to_idx(block):
                     # (k, local_batch) -> global (k, global_batch) sharded

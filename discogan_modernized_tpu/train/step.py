@@ -426,8 +426,12 @@ def auto_steps_per_call(cfg: TrainConfig, image_size: int) -> int:
     round 3 "faithful 512px") — remat-on large sizes return 1
     (per-step)."""
     ui = cfg.update_interval
-    if image_size < LARGE_IMAGE:  # small regime: ~24-step chunks
+    if image_size <= 128:  # small regime: ~24-step chunks
         return max(ui, (24 // ui) * ui)
+    # 129px+: remat-dependent chunking. The 129-255px band keeps the
+    # conservative large-size logic (advisor round 3: the 24-step chunk
+    # regime is only abstract-probed at >= LARGE_IMAGE, so mid sizes must
+    # not silently get the bigger un-probed program).
     use_remat = (image_size >= LARGE_IMAGE) if cfg.remat is None else cfg.remat
     return 1 if use_remat else 2 * ui
 
@@ -448,8 +452,10 @@ def auto_remat_scan_candidate(cfg: TrainConfig, image_size: int):
     """
     if cfg.remat is not None or image_size < LARGE_IMAGE:
         return None
-    if cfg.remat_policy not in (None, "full"):
-        # An explicit remat granularity implies the user wants remat.
+    if cfg.remat_policy is not None:
+        # ANY explicitly-passed --remat_policy ("full" included — the CLI
+        # default is None, so its presence is deliberate) opts into remat:
+        # never auto-disable it (advisor round 3).
         return None
     if os.environ.get("DISCOGAN_AUTO_REMAT", "1") == "0":
         return None
@@ -493,7 +499,7 @@ def make_scan_program_getter(cfg: TrainConfig,
 
 
 def scan_multi_body(cfg: TrainConfig, gen_step, dis_step, lean_step,
-                    steps: int, variant: str = "switch"):
+                    steps: int, variant: str = "switch", take=None):
     """The unjitted multi-step scan body shared by the single-device scan
     program (make_scan_train_step) and the data-parallel one
     (parallel/dp.py make_dp_scan_train_step, where the branch bodies carry
@@ -507,18 +513,27 @@ def scan_multi_body(cfg: TrainConfig, gen_step, dis_step, lean_step,
     [D, G, ..., G] period as straight-line code, eliminating the
     conditional over the full train-state carry (XLA materializes carry
     copies at conditional boundaries inside while loops — measured
-    0.25 ms/step at 64px b64, PERF.md round 3)."""
+    0.25 ms/step at 64px b64, PERF.md round 3).
+
+    take: the batch-gather fn (data, idx) -> batch; default jnp.take on
+    axis 0. The GSPMD scan (parallel/gspmd.py) passes a data-axis-manual
+    shard_map gather so each device reads only its own dataset shard with
+    LOCAL indices while the step body stays auto-sharded."""
     import jax.numpy as jnp
 
+    if take is None:
+        def take(data, idx):
+            return jnp.take(data, idx, axis=0)
     if variant != "switch":
         return _phase_multi_body(cfg, gen_step, dis_step, lean_step, steps,
-                                 logged_d_cond=(variant == "phase_cond"))
+                                 logged_d_cond=(variant == "phase_cond"),
+                                 take=take)
 
     def multi(ts, data_A, data_B, idx_A, idx_B, iters0):
         def body(ts, xs):
             j, ia, ib = xs
-            A = jnp.take(data_A, ia, axis=0)
-            B = jnp.take(data_B, ib, axis=0)
+            A = take(data_A, ia)
+            B = take(data_B, ib)
             i = iters0 + j
             rate = jnp.where(i < cfg.gan_curriculum,
                              cfg.starting_rate, cfg.default_rate
@@ -559,7 +574,7 @@ def scan_multi_body(cfg: TrainConfig, gen_step, dis_step, lean_step,
 
 
 def _phase_multi_body(cfg: TrainConfig, gen_step, dis_step, lean_step,
-                      steps: int, *, logged_d_cond: bool):
+                      steps: int, *, logged_d_cond: bool, take=None):
     """Phase-aligned multi-step body: one [D, G, ..., G] update period per
     scan step, straight-line (see scan_multi_body / scan_variant).
 
@@ -576,6 +591,9 @@ def _phase_multi_body(cfg: TrainConfig, gen_step, dis_step, lean_step,
             f"phase-aligned scan needs steps % update_interval == 0, got "
             f"steps={steps}, update_interval={ui}")
     periods = steps // ui
+    if take is None:
+        def take(data, idx):
+            return jnp.take(data, idx, axis=0)
 
     def d_slot(ts, A, B, rate, i):
         if lean_step is None:
@@ -597,8 +615,8 @@ def _phase_multi_body(cfg: TrainConfig, gen_step, dis_step, lean_step,
             j, ia, ib = xs  # ia/ib: (ui, batch) — one row per slot
             outs = []
             for s in range(ui):
-                A = jnp.take(data_A, ia[s], axis=0)
-                B = jnp.take(data_B, ib[s], axis=0)
+                A = take(data_A, ia[s])
+                B = take(data_B, ib[s])
                 i = iters0 + j * ui + s
                 rate = jnp.where(i < cfg.gan_curriculum,
                                  cfg.starting_rate, cfg.default_rate
