@@ -73,12 +73,57 @@ def conv2d(x, w, *, stride: int, padding: int, policy=None):
         w = w.astype(policy.compute_dtype)
     else:
         w = w.astype(x.dtype)
-    if (w.shape[0] == 4 and stride == 2 and padding == 1 and w.shape[2] <= 16
-            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+    narrow_stem = (w.shape[0] == 4 and stride == 2 and padding == 1
+                   and w.shape[2] <= 16
+                   and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+    if narrow_stem and os.environ.get("DISCOGAN_S2D_STEM", "0") == "1":
+        return _conv2d_s2d_stem(x, w)
+    if (narrow_stem
             and os.environ.get("DISCOGAN_SUBPIXEL", "1") != "0"
             and os.environ.get("DISCOGAN_SUBPIXEL_DX", "1") != "0"):
         return _conv2d_subpixel_dx(x, w, stride, padding)
     return _plain_conv2d(x, w, stride, padding)
+
+
+def _conv2d_s2d_stem(x, w):
+    """k4/s2/p1 conv with THIN input channels as one k3/s1 conv on the
+    space-to-depth(2) transform (DISCOGAN_S2D_STEM=1; round 4).
+
+    Why: the 512px per-layer itemization (step_itemize round 4) put the
+    3-channel stem convs (enc0/dis0, ref model.py:8) at 3-4% MFU — the
+    emitter pads the 3 input lanes up to a full tile, and the implicit
+    GEMM's contraction dim is k*k*3 = 48 of 128. Space-to-depth packs the
+    stride-2 structure into channels: cell c holds elements (2c, 2c+1)
+    per axis, so out[i] = sum_u w[u] x[2i+u-1] reads only cells
+    i-1 (elem 1), i (both), i+1 (elem 0) — a kernel-3 stride-1 SAME conv
+    over cells with 4x the input channels (3 -> 12; contraction dim
+    9*12 = 108 of 128). The embedded kernel is w's taps scattered over
+    the (cell, element) grid with zeros elsewhere: 2.25x the MACs (zeros
+    are multiplied), but MACs were 4% utilized — the same trade XLA's own
+    resnet space-to-depth conversion makes. Exact to product reordering
+    (bf16 conv reduction order is unspecified anyway); gradients flow
+    through the kernel embedding (dw) and the s2d reshape (dx)
+    automatically. A/B'd on-chip before any default change (PERF.md).
+    """
+    n, h, wd, ci = x.shape
+    co = w.shape[-1]
+    # s2d cells: channel index = a*(2*ci) + b*ci + c for element (a, b).
+    xs = (x.reshape(n, h // 2, 2, wd // 2, 2, ci)
+          .transpose(0, 1, 3, 2, 4, 5)
+          .reshape(n, h // 2, wd // 2, 4 * ci))
+    # Embed w (4,4,ci,co) into (3,3,2,2,ci,co): k3 tap t, element a maps
+    # to original tap u via (t,a): (0,1)->0, (1,0)->1, (1,1)->2, (2,0)->3
+    # (per axis); other (t,a) pairs are structural zeros.
+    tap = {(0, 1): 0, (1, 0): 1, (1, 1): 2, (2, 0): 3}
+    wbig = jnp.zeros((3, 3, 2, 2, ci, co), dtype=w.dtype)
+    for (th, a), uh in tap.items():
+        for (tw, b), uw in tap.items():
+            wbig = wbig.at[th, tw, a, b].set(w[uh, uw])
+    wbig = wbig.reshape(3, 3, 4 * ci, co)
+    return lax.conv_general_dilated(
+        xs, wbig, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=DIMENSION_NUMBERS, precision=_conv_precision(x),
+    )
 
 
 def _plain_conv2d(x, w, stride: int, padding: int):

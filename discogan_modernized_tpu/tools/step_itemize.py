@@ -85,7 +85,13 @@ def step_chain_time(cfg, which, A, B, *, n1=5, n2=55, reps=3):
 
     When cfg.lean_dis is set, the D step timed here is the LEAN branch —
     the same program the production scan runs on non-logged D iterations
-    and the one conv_accounting's D multiplicities describe."""
+    and the one conv_accounting's D multiplicities describe.
+
+    The train state is DONATED and threaded across timed calls, like the
+    production step programs: without donation the input and output
+    states co-reside and the faithful 512px point (f32 state, ~8.2 GB)
+    compile-OOMs at 2x state (16.57G > 15.75G hbm, observed round 4).
+    Donation is also the more production-faithful measurement."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -98,7 +104,7 @@ def step_chain_time(cfg, which, A, B, *, n1=5, n2=55, reps=3):
                            lean=(which == "dis" and cfg.lean_dis))
     ts = init_train_state(jax.random.PRNGKey(0), cfg)
 
-    @functools.partial(jax.jit, static_argnums=(3,))
+    @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
     def chain(ts, A, B, length):
         # A/B are nudged by the step's losses each iteration: with them
         # loop-constant, the D branch's generator forwards (frozen gen
@@ -113,10 +119,26 @@ def step_chain_time(cfg, which, A, B, *, n1=5, n2=55, reps=3):
                     B + eps.astype(B.dtype)), ()
 
         (ts, A, B), _ = lax.scan(body, (ts, A, B), None, length=length)
-        return (_live_sum(ts["models"]) + A.ravel()[0].astype(jnp.float32)
+        live = (_live_sum(ts["models"]) + A.ravel()[0].astype(jnp.float32)
                 + B.ravel()[0].astype(jnp.float32))
+        return live, ts
 
-    return _timer(n1, n2, reps)(chain, ts, A, B)
+    state = {"ts": ts}
+
+    def call(length):
+        t0 = time.perf_counter()
+        live, new_ts = chain(state["ts"], A, B, length)
+        state["ts"] = new_ts
+        _ = float(live)
+        return time.perf_counter() - t0
+
+    call(n2)  # compile + warm the LONG program
+    call(n1)
+
+    def best_of(length):
+        return min(call(length) for _ in range(reps))
+
+    return (best_of(n2) - best_of(n1)) / (n2 - n1)
 
 
 def forward_chain_time(cfg, A, B, *, dis_only=False, n1=5, n2=105, reps=3):
@@ -174,12 +196,14 @@ def grad_chain_time(cfg, which, A, B, *, n1=5, n2=55, reps=3):
     dis_only = which == "dis" and cfg.lean_dis
     ts = init_train_state(jax.random.PRNGKey(0), cfg)
 
-    @functools.partial(jax.jit, static_argnums=(4,))
+    @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(0, 1))
     def chain(models, states, A, B, length):
         # A/B nudged per iteration: the non-trainable nets' forwards (gen
         # nets in the D branch) read loop-constant params, so with
         # constant inputs they are loop-invariant and hoistable —
-        # under-measuring the chain (see step_chain_time).
+        # under-measuring the chain (see step_chain_time). models/states
+        # donated + threaded like step_chain_time (faithful-512px 2x-state
+        # OOM).
         def body(carry, _):
             models, states, A, B = carry
             frozen = {k: v for k, v in models.items() if k not in keys}
@@ -200,14 +224,29 @@ def grad_chain_time(cfg, which, A, B, *, n1=5, n2=55, reps=3):
             return ({**frozen, **new_tr}, new_states,
                     A + eps.astype(A.dtype), B + eps.astype(B.dtype)), ()
 
-        (models, _, A, B), _ = lax.scan(
-            body, (models, ts["model_states"], A, B), None, length=length)
-        return (_live_sum({k: models[k] for k in keys})
+        (models, states, A, B), _ = lax.scan(
+            body, (models, states, A, B), None, length=length)
+        live = (_live_sum({k: models[k] for k in keys})
                 + A.ravel()[0].astype(jnp.float32)
                 + B.ravel()[0].astype(jnp.float32))
+        return live, models, states
 
-    return _timer(n1, n2, reps)(chain, ts["models"], ts["model_states"],
-                                A, B)
+    state = {"models": ts["models"], "states": ts["model_states"]}
+
+    def call(length):
+        t0 = time.perf_counter()
+        live, m, s = chain(state["models"], state["states"], A, B, length)
+        state["models"], state["states"] = m, s
+        _ = float(live)
+        return time.perf_counter() - t0
+
+    call(n2)
+    call(n1)
+
+    def best_of(length):
+        return min(call(length) for _ in range(reps))
+
+    return (best_of(n2) - best_of(n1)) / (n2 - n1)
 
 
 def adam_chain_time(cfg, which, *, n1=10, n2=210, reps=3):

@@ -44,13 +44,37 @@ def adam_init(params, mv_dtype=jnp.float32):
     }
 
 
+def _use_rbg_rounding() -> bool:
+    """DISCOGAN_SR_RBG=1: draw the stochastic-rounding bits from
+    lax.rng_bit_generator (the TPU's hardware-friendly RBG) instead of
+    threefry. Motivation (round 4): the 512px slim-all G-step carries a
+    12.1 ms optimizer slice vs a ~2.3 ms HBM-bandwidth ideal
+    (step_itemize), and threefry's ~50 ALU ops/word over ~160M params is
+    the prime suspect. Unbiasedness only needs uniform low-16 bits, which
+    RBG provides; the seed derives from (Adam step, leaf index) exactly
+    like the threefry path, so updates stay deterministic and
+    resume-safe per backend. Default off until A/B'd on-chip (PERF.md).
+    Read at trace time (baked into the cached jitted step programs)."""
+    import os
+
+    return os.environ.get("DISCOGAN_SR_RBG") == "1"
+
+
 def _stochastic_round_bf16(x32, key):
     """Unbiased f32 -> bf16 rounding: add uniform random bits below the
     bf16 mantissa cutoff, then truncate. The carry into the exponent when
     the mantissa overflows is exactly round-up to the next representable
     value, so the scheme is correct across exponent boundaries."""
     bits = lax.bitcast_convert_type(x32.astype(jnp.float32), jnp.uint32)
-    rnd = jax.random.bits(key, x32.shape, jnp.uint32) & jnp.uint32(0xFFFF)
+    if _use_rbg_rounding():
+        kd = (key if getattr(key, "dtype", None) == jnp.uint32
+              else jax.random.key_data(key))
+        kd = kd.astype(jnp.uint32).reshape(-1)[:2]
+        seed = jnp.concatenate([kd, kd])  # uint32[4] RBG state
+        _, rnd = lax.rng_bit_generator(seed, x32.shape, dtype=jnp.uint32)
+        rnd = rnd & jnp.uint32(0xFFFF)
+    else:
+        rnd = jax.random.bits(key, x32.shape, jnp.uint32) & jnp.uint32(0xFFFF)
     bits = (bits + rnd) & jnp.uint32(0xFFFF0000)
     return lax.bitcast_convert_type(bits, jnp.float32).astype(jnp.bfloat16)
 

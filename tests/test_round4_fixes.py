@@ -136,6 +136,64 @@ def test_bn_remat_train_step_trajectory(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
 
 
+def test_s2d_stem_matches_plain_conv(monkeypatch):
+    """DISCOGAN_S2D_STEM=1 (thin-channel stem conv as k3/s1 on the
+    space-to-depth transform — the 512px enc0/dis0 emitter attack) is
+    exact to f32 rounding in fwd, dx and dw, across the gated shapes."""
+    from discogan_modernized_tpu.ops import conv as C
+
+    rng = np.random.RandomState(0)
+    for (h, ci, co) in ((16, 3, 8), (32, 3, 64), (16, 12, 32)):
+        x = jnp.asarray(rng.randn(2, h, h, ci), jnp.float32)
+        w = jnp.asarray(rng.randn(4, 4, ci, co) * 0.1, jnp.float32)
+
+        def loss(x, w):
+            return jnp.sum(jnp.sin(C.conv2d(x, w, stride=2, padding=1)))
+
+        monkeypatch.delenv("DISCOGAN_S2D_STEM", raising=False)
+        y0 = C.conv2d(x, w, stride=2, padding=1)
+        g0 = jax.grad(loss, argnums=(0, 1))(x, w)
+        monkeypatch.setenv("DISCOGAN_S2D_STEM", "1")
+        y1 = C.conv2d(x, w, stride=2, padding=1)
+        g1 = jax.grad(loss, argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g0[0]),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g0[1]),
+                                   atol=1e-3)
+    # Wide-input convs must NOT take the stem path (gate cin <= 16).
+    x = jnp.asarray(rng.randn(2, 8, 8, 64), jnp.float32)
+    w = jnp.asarray(rng.randn(4, 4, 64, 32) * 0.1, jnp.float32)
+    monkeypatch.setenv("DISCOGAN_S2D_STEM", "1")
+    y = C.conv2d(x, w, stride=2, padding=1)
+    assert y.shape == (2, 4, 4, 32)
+
+
+def test_sr_rbg_rounding_unbiased_and_deterministic(monkeypatch):
+    """DISCOGAN_SR_RBG=1 (hardware-RBG stochastic-rounding bits for the
+    slim-all bf16 master writes) keeps the two properties the scheme
+    needs: E[round(x)] = x to sampling error, and bitwise determinism
+    for a fixed (step, leaf) key — resume-safe like the threefry path."""
+    from discogan_modernized_tpu.train.optim import _stochastic_round_bf16
+
+    key = jax.random.PRNGKey(7)
+    x = jnp.asarray(np.random.RandomState(0).randn(4096).astype(np.float32)
+                    * 0.01)
+    for knob in ("0", "1"):
+        if knob == "1":
+            monkeypatch.setenv("DISCOGAN_SR_RBG", "1")
+        else:
+            monkeypatch.delenv("DISCOGAN_SR_RBG", raising=False)
+        f = jax.jit(lambda x, k: _stochastic_round_bf16(x, k))
+        outs = np.stack([np.asarray(f(x, jax.random.fold_in(key, i)),
+                                    np.float32) for i in range(64)])
+        bias = np.abs(outs.mean(0) - np.asarray(x)).max()
+        assert bias < 2e-4, (knob, bias)  # |x| ~ 1e-2, bf16 ulp ~ 4e-5
+        a = np.asarray(f(x, key))
+        assert np.array_equal(a, np.asarray(f(x, key))), knob
+
+
 def test_dp_scan_probe_uses_mesh_avals(monkeypatch, tmp_path):
     """Round-4 (VERDICT r3 item 6): at >= LARGE_IMAGE under a DP mesh the
     trainer probe-compiles the DP-scan program from mesh-sharded avals
