@@ -685,7 +685,16 @@ def measure_train_with_decode_512(batch: int = 32, n_per_domain: int = 256,
                           slim_state=slim_state, lean_dis=True, remat=False)
         copts = {"xla_tpu_scoped_vmem_limit_kib": "32768"}
         ts = init_train_state(jax.random.PRNGKey(0), cfg)
-        gen_step, dis_step = make_train_steps(cfg)
+        # Cold-phase per-step programs run remat ON: the cold epoch is
+        # ~98% decode/H2D (3 vs ~150 img/s), so the step config doesn't
+        # move the number, and the remat-off per-step programs coexisting
+        # with the HBM dataset + slim-all state OOM'd once the round-4
+        # S2D stem nudged peak memory (observed; the warm phase keeps the
+        # production remat-off fused scan below).
+        import dataclasses as _dc
+
+        gen_step, dis_step = make_train_steps(
+            _dc.replace(cfg, remat=True), compiler_options=copts)
         take = jax.jit(lambda d, i: jnp.take(d, i, axis=0))
 
         loader = PrefetchLoader(files_A, files_B, batch, 512,
@@ -1196,18 +1205,6 @@ def main(full: bool = False):
                     "warm = epochs >= 1 served by the HBM-resident decoded "
                     "dataset (the disk cache serves restarts/re-runs)",
         }
-        # The DP-scan program over a real 1-device mesh vs the unsharded
-        # scan (VERDICT r3 item 2: first on-chip mesh evidence).
-        mesh_ab = measure_train_mesh(64, 64, rounds=2, lean_dis=True,
-                                     slim_state="mv")
-        detail["train_64px_b64_mesh1dp"] = dict(
-            mesh_ab,
-            unit="images/sec/chip",
-            note="DP-scan (parallel/dp.py make_dp_scan_train_step) over a "
-                 "real 1-device mesh, interleaved A/B vs the unsharded "
-                 "scan in one process — measures the shard_map wrapper + "
-                 "sharded-operand cost of the exact program the "
-                 "distributed trainer routes")
         dec512 = measure_train_with_decode_512(32, slim_state="all")
         detail["train_512px_b32_with_real_decode"] = {
             "cold_first_epoch": round(dec512["cold"], 1),
@@ -1220,6 +1217,27 @@ def main(full: bool = False):
                     "scan); production operating point (slim_state=all, "
                     "lean_dis, remat off, scoped-vmem copt)",
         }
+        # The DP-scan program over a real 1-device mesh vs the unsharded
+        # scan (VERDICT r3 item 2: first on-chip mesh evidence). LAST:
+        # its extra train-state arms churn the allocator, and the 512px
+        # decode row OOMs after it (observed round 4 — same pristine-
+        # allocator discipline as the top-of-run 512px rows).
+        _ = float(jnp.add(jnp.ones(()), 1.0))  # queue-drain fence
+        time.sleep(5)
+        try:
+            mesh_ab = measure_train_mesh(64, 64, rounds=2, lean_dis=True,
+                                         slim_state="mv")
+            detail["train_64px_b64_mesh1dp"] = dict(
+                mesh_ab,
+                unit="images/sec/chip",
+                note="DP-scan (parallel/dp.py make_dp_scan_train_step) "
+                     "over a real 1-device mesh, interleaved A/B vs the "
+                     "unsharded scan in one process — measures the "
+                     "shard_map wrapper + sharded-operand cost of the "
+                     "exact program the distributed trainer routes")
+        except Exception as e:  # the matrix must persist regardless
+            print(f"# mesh row failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
         Path("benchmarks").mkdir(exist_ok=True)
         Path("benchmarks/full.json").write_text(json.dumps(detail, indent=2))
 

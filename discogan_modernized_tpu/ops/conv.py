@@ -76,7 +76,13 @@ def conv2d(x, w, *, stride: int, padding: int, policy=None):
     narrow_stem = (w.shape[0] == 4 and stride == 2 and padding == 1
                    and w.shape[2] <= 16
                    and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
-    if narrow_stem and os.environ.get("DISCOGAN_S2D_STEM", "0") == "1":
+    # "auto" (default): space-to-depth stem for WIDE-SPATIAL thin inputs
+    # only — +1.7% whole-program at 512px b32 (won every interleaved
+    # round); ambiguous at 64px (best-of +2.7% but round-flappy), so the
+    # small-geometry stem keeps the subpixel-dx path. "1"/"0" force.
+    s2d_env = os.environ.get("DISCOGAN_S2D_STEM", "auto")
+    if narrow_stem and (s2d_env == "1"
+                        or (s2d_env == "auto" and x.shape[1] >= 256)):
         return _conv2d_s2d_stem(x, w)
     if (narrow_stem
             and os.environ.get("DISCOGAN_SUBPIXEL", "1") != "0"
@@ -190,8 +196,17 @@ def conv_transpose2d(x, w, *, stride: int, padding: int, policy=None):
     else:
         w = w.astype(x.dtype)
     k = w.shape[0]
+    # DISCOGAN_SUBPIXEL_WIDE: "1" lifts the out_ch gate everywhere
+    # (round-3/4: does not COMPILE at 512px — the deep dense forms blow
+    # up, e.g. dec1's 2048->8192-channel k2 — remote HTTP 500 both
+    # rounds); "hi" lifts it only for wide-spatial inputs (>= 64px),
+    # i.e. exactly the dec5/dec6 boundary layers the round-4 itemization
+    # put at 23-36% MFU under the zero-dilated emitter, while the deep
+    # layers keep the emitter that works.
+    wide_env = os.environ.get("DISCOGAN_SUBPIXEL_WIDE", "0")
     wide_ok = (w.shape[-1] <= 16
-               or os.environ.get("DISCOGAN_SUBPIXEL_WIDE", "0") == "1")
+               or wide_env == "1"
+               or (wide_env == "hi" and x.shape[1] >= 64))
     if (k == 4 and stride == 2 and padding == 1 and wide_ok
             and os.environ.get("DISCOGAN_SUBPIXEL", "1") != "0"):
         return _conv_transpose_subpixel(x, w)

@@ -194,6 +194,26 @@ def test_sr_rbg_rounding_unbiased_and_deterministic(monkeypatch):
         assert np.array_equal(a, np.asarray(f(x, key))), knob
 
 
+def test_subpixel_wide_hi_is_exact(monkeypatch):
+    """DISCOGAN_SUBPIXEL_WIDE=hi (dense-form convT gated to wide-spatial
+    inputs only — the round-4 retry after "1" failed to compile at
+    512px) stays numerically exact vs the dilated emitter on both sides
+    of the spatial gate."""
+    from discogan_modernized_tpu.ops import conv as C
+
+    rng = np.random.RandomState(0)
+    for h in (64, 16):  # >= 64: dense form; < 64: dilated emitter
+        x = jnp.asarray(rng.randn(2, h, h, 32), jnp.float32)
+        w = jnp.asarray(rng.randn(4, 4, 32, 24) * 0.1, jnp.float32)
+        monkeypatch.delenv("DISCOGAN_SUBPIXEL_WIDE", raising=False)
+        y0 = C.conv_transpose2d(x, w, stride=2, padding=1)
+        monkeypatch.setenv("DISCOGAN_SUBPIXEL_WIDE", "hi")
+        y1 = C.conv_transpose2d(x, w, stride=2, padding=1)
+        assert y1.shape == y0.shape == (2, 2 * h, 2 * h, 24)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   atol=1e-4)
+
+
 def test_dp_scan_probe_uses_mesh_avals(monkeypatch, tmp_path):
     """Round-4 (VERDICT r3 item 6): at >= LARGE_IMAGE under a DP mesh the
     trainer probe-compiles the DP-scan program from mesh-sharded avals
