@@ -57,7 +57,8 @@ def discriminator_apply(params, state, x, *, policy: Policy = F32, training: boo
     feats = []
     new_states = []
     for i, layer in enumerate(params["trunk"]):
-        h = conv2d(h, layer["w"], stride=2, padding=1, policy=policy)
+        h = conv2d(h, layer["w"], stride=2, padding=1, policy=policy,
+                   training=training)
         # remat_policy="conv" saves conv outputs; backward recomputes only
         # the elementwise BN/activation chains (train/graph.py).
         h = checkpoint_name(h, "conv_out")
@@ -105,7 +106,8 @@ def discriminator_apply_pair(params, state, x_real, x_fake, *,
     feats_r, feats_f = [], []
     new_states = []
     for i, layer in enumerate(params["trunk"]):
-        h = conv2d(h, layer["w"], stride=2, padding=1, policy=policy)
+        h = conv2d(h, layer["w"], stride=2, padding=1, policy=policy,
+                   training=training)
         h = checkpoint_name(h, "conv_out")
         if "bn" in layer:
             hr, st = batchnorm_apply(

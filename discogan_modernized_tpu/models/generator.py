@@ -91,7 +91,8 @@ def generator_apply(params, state, x, *, policy: Policy = F32, training: bool = 
 
     new_enc_state = []
     for i, layer in enumerate(params["encoder"]):
-        h = conv2d(h, layer["w"], stride=2, padding=1, policy=policy)
+        h = conv2d(h, layer["w"], stride=2, padding=1, policy=policy,
+                   training=training)
         # Tag so remat_policy="conv" saves conv outputs and the backward
         # recomputes only the cheap elementwise BN/activation chains
         # instead of re-running every convolution (train/graph.py).

@@ -52,7 +52,7 @@ def _conv_precision(x):
     return lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
 
 
-def conv2d(x, w, *, stride: int, padding: int, policy=None):
+def conv2d(x, w, *, stride: int, padding: int, policy=None, training: bool = True):
     """2D convolution matching torch Conv2d(k,s,p, bias=False) semantics.
 
     x: (N,H,W,C) activations; w: (kh,kw,I,O) kernel. Output dtype equals
@@ -77,12 +77,17 @@ def conv2d(x, w, *, stride: int, padding: int, policy=None):
                    and w.shape[2] <= 16
                    and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
     # "auto" (default): space-to-depth stem for WIDE-SPATIAL thin inputs
-    # only — +1.7% whole-program at 512px b32 (won every interleaved
-    # round); ambiguous at 64px (best-of +2.7% but round-flappy), so the
-    # small-geometry stem keeps the subpixel-dx path. "1"/"0" force.
+    # in TRAINING programs only — +1.7% whole-program at the 512px b32
+    # train point (won every interleaved round) but a 13.9% LOSS on the
+    # forward-only 512px inference program (2.10 -> 2.39 ms p50,
+    # benchmarks/inference_s2d_ab.json, round 5 — the round-4 matrix's
+    # "2.078 -> 2.391 ms regression" was exactly this gate firing for
+    # inference). Ambiguous at 64px (best-of +2.7% but round-flappy), so
+    # the small-geometry stem keeps the subpixel-dx path. "1"/"0" force.
     s2d_env = os.environ.get("DISCOGAN_S2D_STEM", "auto")
     if narrow_stem and (s2d_env == "1"
-                        or (s2d_env == "auto" and x.shape[1] >= 256)):
+                        or (s2d_env == "auto" and x.shape[1] >= 256
+                            and training)):
         return _conv2d_s2d_stem(x, w)
     if (narrow_stem
             and os.environ.get("DISCOGAN_SUBPIXEL", "1") != "0"
