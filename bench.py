@@ -259,7 +259,8 @@ def measure_train_mesh(image_size: int, batch: int, n_steps: int = 240,
                        warmup: int = 24, steps_per_call: int | None = None,
                        n_data: int | None = None, rounds: int = 3,
                        compiler_options: dict | None = None,
-                       lhs_ab: bool = False, **cfg_kwargs) -> dict:
+                       lhs_ab: bool = False, gspmd_ab: bool = False,
+                       **cfg_kwargs) -> dict:
     """The DP-scan production program over a REAL 1-device mesh, interleaved
     A/B against the unsharded scan in one process (VERDICT r3 item 2: the
     multi-device story previously had zero on-chip evidence — this measures
@@ -278,6 +279,14 @@ def measure_train_mesh(image_size: int, batch: int, n_steps: int = 240,
     xla_tpu_enable_latency_hiding_scheduler=true (re-test asked by
     VERDICT r3 — single-chip it was a wash on the unsharded program;
     shard_map bodies are where it could matter once collectives exist).
+
+    gspmd_ab=True adds the GSPMD-scan arm (VERDICT r4 item 5: the only
+    production program class with zero on-chip evidence): parallel/
+    gspmd.py make_gspmd_scan_train_step over the same dp=1, tp=1 mesh —
+    the manual data-axis gather shard_map composed with the auto model
+    axis, TP-sharded train state via place_train_state. On one chip the
+    model axis is size 1, so this measures the lowering's single-chip
+    cost (annotation/partitioner overhead), not collectives.
 
     Ref analog: distributed_image_translation.py:401-404 (the reference's
     DDP wrap ran on its real hardware; ours must too).
@@ -338,12 +347,33 @@ def measure_train_mesh(image_size: int, batch: int, n_steps: int = 240,
         lhs_opts = dict(compiler_options or {})
         lhs_opts["xla_tpu_enable_latency_hiding_scheduler"] = "true"
         arms["mesh_lhs"] = mesh_prog_cache(lhs_opts)
+    if gspmd_ab:
+        from discogan_modernized_tpu.parallel.gspmd import (
+            make_gspmd_scan_train_step, place_train_state)
+
+        def gspmd_prog_cache(copts):
+            cache: dict = {}
+
+            def get(it0, k):
+                v = scan_variant(cfg, it0, k)
+                if (k, v) not in cache:
+                    cache[k, v] = make_gspmd_scan_train_step(
+                        cfg, mesh, steps=k, variant=v,
+                        compiler_options=copts)
+                return cache[k, v]
+
+            return get
+
+        arms["gspmd"] = gspmd_prog_cache(compiler_options)
 
     mesh_states = {}
     for name in arms:
-        ts0 = replicate_train_state(
-            init_train_state(jax.random.PRNGKey(0), cfg), mesh, cfg)
-        mesh_states[name] = jax.device_put(ts0, ts_sh)
+        ts0 = init_train_state(jax.random.PRNGKey(0), cfg)
+        if name == "gspmd":
+            mesh_states[name] = place_train_state(ts0, mesh)
+        else:
+            mesh_states[name] = jax.device_put(
+                replicate_train_state(ts0, mesh, cfg), ts_sh)
     data_A_m = jax.device_put(host_A, data_sh)
     data_B_m = jax.device_put(host_B, data_sh)
 
@@ -416,6 +446,9 @@ def measure_train_mesh(image_size: int, batch: int, n_steps: int = 240,
     if lhs_ab:
         out["mesh_lhs_img_s"] = round(best["mesh_lhs"], 1)
         out["lhs_over_mesh"] = round(best["mesh_lhs"] / best["mesh"], 4)
+    if gspmd_ab:
+        out["gspmd_img_s"] = round(best["gspmd"], 1)
+        out["gspmd_over_plain"] = round(best["gspmd"] / best["plain"], 4)
     return out
 
 
@@ -1272,15 +1305,19 @@ def main(full: bool = False):
           f"({jax.default_backend()})", file=sys.stderr, flush=True)
 
 
-def mesh_main(lhs_ab: bool = True):
-    """`python bench.py --mesh`: the 1-device-mesh DP-scan A/B alone.
-    Prints one JSON line and merges the row into benchmarks/full.json."""
+def mesh_main(lhs_ab: bool = True, gspmd_ab: bool = False):
+    """`python bench.py --mesh [gspmd]`: the 1-device-mesh A/B alone.
+    Prints one JSON line and merges the row into benchmarks/full.json.
+    With `gspmd`, the third arm is the GSPMD-scan program (manual
+    data-axis gather + auto model axis) instead of the LHS copt re-test
+    — VERDICT r4 item 5: first on-chip run of the TP lowering."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     res = measure_train_mesh(64, 64, rounds=3, lean_dis=True,
-                             slim_state="mv", lhs_ab=lhs_ab)
+                             slim_state="mv", lhs_ab=lhs_ab,
+                             gspmd_ab=gspmd_ab)
     print(json.dumps(res), flush=True)
     from pathlib import Path
 
@@ -1289,14 +1326,20 @@ def mesh_main(lhs_ab: bool = True):
         detail = json.load(open(p))
     except Exception:
         detail = {}
-    detail["train_64px_b64_mesh1dp"] = dict(
-        res,
-        unit="images/sec/chip",
-        note="DP-scan (parallel/dp.py make_dp_scan_train_step) over a "
-             "real 1-device mesh, interleaved A/B vs the unsharded scan "
-             "in one process — measures the shard_map wrapper + "
-             "sharded-operand cost of the exact program the distributed "
-             "trainer routes")
+    key = "train_64px_b64_mesh1gspmd" if gspmd_ab else "train_64px_b64_mesh1dp"
+    note = (
+        "GSPMD-scan (parallel/gspmd.py make_gspmd_scan_train_step: manual "
+        "data-axis gather shard_map + auto model axis, TP-sharded state) "
+        "over a real dp=1,tp=1 mesh, interleaved A/B vs the DP-scan mesh "
+        "arm and the unsharded scan in one process — first on-chip "
+        "evidence for the TP lowering (single-chip cost only; the model "
+        "axis is size 1)" if gspmd_ab else
+        "DP-scan (parallel/dp.py make_dp_scan_train_step) over a "
+        "real 1-device mesh, interleaved A/B vs the unsharded scan "
+        "in one process — measures the shard_map wrapper + "
+        "sharded-operand cost of the exact program the distributed "
+        "trainer routes")
+    detail[key] = dict(res, unit="images/sec/chip", note=note)
     p.parent.mkdir(exist_ok=True)
     p.write_text(json.dumps(detail, indent=2))
 
@@ -1305,6 +1348,8 @@ if __name__ == "__main__":
     import sys
 
     if "--mesh" in sys.argv:
-        mesh_main(lhs_ab="--no_lhs" not in sys.argv)
+        gspmd = "gspmd" in sys.argv
+        mesh_main(lhs_ab=not gspmd and "--no_lhs" not in sys.argv,
+                  gspmd_ab=gspmd)
     else:
         main(full="--full" in sys.argv)

@@ -193,6 +193,12 @@ def conv2d_k4s2p1(x, w, *, scale=None, offset=None, act: str | None = None,
             + n * ho * wo * out_ch * xp.dtype.itemsize,
             transcendentals=0,
         ),
+        # round 5: Mosaic's 16 MB scoped default blocked every 512px
+        # shape (tb=1 input block alone is 42.3 MB at enc1 geometry);
+        # the v5e has 128 MB physical VMEM — lift the limit so the
+        # 512px shapes compile at all (PERF.md round-4 item re-tested)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
     if with_stats:
