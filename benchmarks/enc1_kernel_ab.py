@@ -25,6 +25,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from discogan_modernized_tpu.ops.pallas_conv import (conv2d_k4s2p1,
                                                      conv2d_k4s2p1_dw)
+from discogan_modernized_tpu.ops.pallas_halo_conv import (
+    halo_conv2d_k4s2p1, halo_conv2d_k4s2p1_dw)
 
 N, S, CI, CO = 32, 256, 64, 128
 DTYPE = jnp.bfloat16
@@ -82,11 +84,17 @@ def main():
                                 - xla_conv(xs, ws).astype(jnp.float32))))
     print(f"compiled correctness maxerr={err:.2e}", flush=True)
 
+    errh = float(jnp.max(jnp.abs(
+        halo_conv2d_k4s2p1(xs, ws).astype(jnp.float32)
+        - xla_conv(xs, ws).astype(jnp.float32))))
+    print(f"halo compiled correctness maxerr={errh:.2e}", flush=True)
+
     cases = [
         ("xla_fwd", make_chain(xla_conv, "fwd")),
-        ("pallas_fwd", make_chain(conv2d_k4s2p1, "fwd")),
+        ("halo_fwd", make_chain(halo_conv2d_k4s2p1, "fwd")),
         ("xla_dw", make_chain(xla_dw, "dw")),
-        ("pallas_dw", make_chain(lambda x, w, dy: pl_dw(x, dy), "dw")),
+        ("halo_dw",
+         make_chain(lambda x, w, dy: halo_conv2d_k4s2p1_dw(x, dy), "dw")),
     ]
     n1, n2 = 3, 24
     ready = []
