@@ -936,6 +936,23 @@ def pallas_selfcheck() -> str:
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     np.testing.assert_allclose(np.asarray(yc), np.asarray(refc),
                                atol=2e-2, rtol=1e-3)
+
+    # round-5 kernels (tested-unrouted experiments; keep their compiled
+    # paths honest on the real backend)
+    from discogan_modernized_tpu.ops.pallas_halo_conv import halo_conv2d_k4s2p1
+    from discogan_modernized_tpu.ops.pallas_head import head_convt_fwd
+
+    yh = halo_conv2d_k4s2p1(x, w)
+    np.testing.assert_allclose(np.asarray(yh), np.asarray(refc),
+                               atol=2e-2, rtol=1e-3)
+    wt = jnp.asarray(rng.randn(4, 4, 128, 3) * 0.05, jnp.float32)
+    yk = head_convt_fwd(x, wt)
+    wf = wt[::-1, ::-1, :, :]
+    reft = lax.conv_general_dilated(
+        x, wf, (1, 1), [(2, 2), (2, 2)], lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(yk), np.asarray(reft),
+                               atol=2e-2, rtol=1e-3)
     return "ok"
 
 
