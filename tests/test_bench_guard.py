@@ -98,3 +98,16 @@ def test_recorded_primary_reads_full_json():
     v = bench._recorded_primary()
     # benchmarks/full.json ships in-repo with a measured primary row.
     assert v is None or v > 0
+
+
+def test_mesh_gspmd_arm_smoke():
+    """The round-5 `bench.py --mesh gspmd` arm end-to-end on the
+    (CPU-forced) virtual device: the GSPMD-scan program must build,
+    place its TP-sharded state, and interleave against DP-scan + plain
+    without error. Tiny geometry; one round, one chunk."""
+    res = bench.measure_train_mesh(
+        8, 4, n_steps=2, warmup=2, steps_per_call=2, n_data=8, rounds=1,
+        lhs_ab=False, gspmd_ab=True)
+    assert res["gspmd_img_s"] > 0
+    assert res["mesh_img_s"] > 0
+    assert "gspmd_over_plain" in res
