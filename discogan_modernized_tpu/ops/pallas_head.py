@@ -16,27 +16,32 @@ each mode's cost:
     intrinsic; the rest is emitter layout waste).
 
 This kernel attacks both on the FORWARD: one pass that
-  - DMAs input row-tiles (with halo) HBM->VMEM,
-  - widens the channel dim to 2*CI so the two column taps merge into a
-    single K=128 contraction (no misaligned-sublane operand slices:
-    the v-shift becomes a VMEM->VMEM lane-offset copy),
-  - runs 2 MXU matmuls per tile (row taps u=0,1 are major-dim slices),
-  - performs the class interleave IN VMEM and writes the output tile
-    once, in its final NHWC-flattened layout (N, 2H, 2W*CO) — the
-    (2W*CO)-minor view keeps the HBM write dense and the caller's
-    reshape to (N, 2H, 2W, CO) layout-preserving.
+  - reads input row-tiles through the block pipeline with 1-row clamped
+    halo blocks (manual DMA was abandoned: Mosaic requires tile-aligned
+    slices on the minor two dims, and the CI=64-lane layout cannot
+    satisfy them — errors on record in git history),
+  - stacks the two row taps on the contraction dim (K = 2*CI) and runs
+    ONE N=8*CO matmul per tile whose lane halves are the two column
+    taps; the v0 half's +1 column shift happens on the f32 accumulator
+    via pltpu.roll (rolls are 32-bit-only),
+  - performs the class interleave IN VMEM via shared rolls + masked
+    selects (Mosaic has no sublane<->lane shape casts and rejects
+    concat of offset-layout slices), in one of two output layouts
+    (see head_convt_fwd).
 
-The backward is staged: dx/dw keep XLA lowerings via the custom VJP in
-ops/conv.py (stage 2 adds a dw kernel — dw is the largest remaining
-term). Correctness: exact to f32-accumulation reordering vs
-lax.conv_general_dilated through the subpixel reference
-(tests/test_pallas_head.py, interpret mode on CPU + compiled via
+STATUS (round 5): compiled-correct on the real chip but measured
+SLOWER than the XLA subpixel path at the 512px head shape — kmajor
+1.08-1.22x, flat6 1.48x — with the full diagnostic decomposition in
+PERF.md round 5 (the block pipeline at 64-lane minors and the
+lane-padded interleave are the binding terms). Kept tested and
+UNROUTED; ops/conv.py does not call it. The `_stop_after` arms are the
+measurement diagnostics (benchmarks/head_kernel_ab.py). Correctness:
+exact to f32-accumulation reordering vs lax.conv_general_dilated
+(tests/test_pallas_head.py, interpret on CPU + compiled via
 bench.pallas_selfcheck on the real chip).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -94,12 +99,9 @@ def head_convt_fwd(x, w, *, layout: str = "kmajor", interpret: bool = False,
     # stacked on the contraction dim (K = 2*CI):
     #   wA[u*CI+ci, cls*CO+o] = wbig[u, 0, ci, cls*CO+o]  (reads xpad[c])
     #   wB[u*CI+ci, ...]      = wbig[u, 1, ...]           (reads xpad[c+1])
-    # out4[c] = slabA[c] @ wA + slabB[c] @ wB where slabB holds raw x cols
-    # (xbuf col c = x col c, so xpad[c+1] = x[c]) and slabA = roll(slabB)
-    # by +1 column (the roll wraps the zeroed tail into column 0 = the
-    # left pad). Two K=2*CI matmuls whose results ADD — no operand
-    # offsets, no misaligned DMA slices (Mosaic requires tile-aligned
-    # slices on the minor two dims).
+    # The slab holds raw x columns (col c = x col c, so xpad[c+1] =
+    # x[c]); the v0 result is rolled +1 column on the f32 accumulator,
+    # wrapping the zeroed tail into column 0 = the left pad.
     wf = w[::-1, ::-1, :, :]
     wbig = jnp.stack(  # (2, 2, CI, 4*CO): [u, v] tap for the 4 classes
         [wf[a::2, b::2, :, :] for a in (0, 1) for b in (0, 1)],
