@@ -105,6 +105,27 @@ def config_from_args(args, angle_variant: bool) -> TrainConfig:
 
 _UNSET = object()
 
+# Default compiler options by image size (round 5): the scoped-vmem
+# copt measured a win at EVERY >=256px operating point — +2% fast
+# (slim all/no-remat, round 2), +0.9% faithful (f32/remat, round 5),
+# +3.7% trajectory-exact mv (round 5) — and a wash at 64px, never a
+# loss. Applied only when the user expressed no copt opinion (no
+# --xla_copts flag AND no DISCOGAN_XLA_COPTS in the environment;
+# setting either, even to "", suppresses the default).
+_DEFAULT_COPTS_256 = "xla_tpu_scoped_vmem_limit_kib=32768"
+
+
+def default_xla_copts(args) -> str | None:
+    import os
+
+    if getattr(args, "xla_copts", None) is not None:
+        return args.xla_copts
+    if os.environ.get("DISCOGAN_XLA_COPTS") is not None:
+        return None  # env already governs the step builders directly
+    if getattr(args, "image_size", 0) >= 256:
+        return _DEFAULT_COPTS_256
+    return None
+
 
 def run_training(args, *, angle_variant: bool = False, distributed: bool = False):
     """Thin wrapper around the training engine that owns the process-level
@@ -117,11 +138,12 @@ def run_training(args, *, angle_variant: bool = False, distributed: bool = False
 
     prev_copts = _UNSET
     try:
-        if getattr(args, "xla_copts", None):
+        copts = default_xla_copts(args)
+        if copts:
             from .step import env_compiler_options
 
             prev_copts = os.environ.get("DISCOGAN_XLA_COPTS")
-            os.environ["DISCOGAN_XLA_COPTS"] = args.xla_copts
+            os.environ["DISCOGAN_XLA_COPTS"] = copts
             # Raises ValueError on malformed entries — INSIDE the try so
             # the finally strips the bad value from the environment (a
             # caller that catches the error must not inherit it).

@@ -65,3 +65,28 @@ def test_generator_inference_has_no_s2d(monkeypatch):
     train = lambda p, s, x: generator_apply(p, s, x, policy=policy,
                                             training=True)[0]
     assert _uses_s2d(train, params, state, x)
+
+
+def test_default_xla_copts_gating(monkeypatch):
+    """Round 5: the scoped-vmem copt defaults ON for >=256px training
+    (it won at every measured >=256px point and washed at 64px) but any
+    explicit copt opinion — flag or env, even empty — suppresses it."""
+    import argparse
+    from discogan_modernized_tpu.train.loop import (_DEFAULT_COPTS_256,
+                                                    default_xla_copts)
+
+    monkeypatch.delenv("DISCOGAN_XLA_COPTS", raising=False)
+
+    def ns(**kw):
+        return argparse.Namespace(**kw)
+
+    assert default_xla_copts(ns(image_size=512, xla_copts=None)) \
+        == _DEFAULT_COPTS_256
+    assert default_xla_copts(ns(image_size=256, xla_copts=None)) \
+        == _DEFAULT_COPTS_256
+    assert default_xla_copts(ns(image_size=64, xla_copts=None)) is None
+    # explicit flag wins verbatim
+    assert default_xla_copts(ns(image_size=512, xla_copts="a=b")) == "a=b"
+    # env presence (even empty) suppresses the default
+    monkeypatch.setenv("DISCOGAN_XLA_COPTS", "")
+    assert default_xla_copts(ns(image_size=512, xla_copts=None)) is None
