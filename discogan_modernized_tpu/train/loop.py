@@ -106,12 +106,15 @@ def config_from_args(args, angle_variant: bool) -> TrainConfig:
 _UNSET = object()
 
 # Default compiler options by image size (round 5): the scoped-vmem
-# copt measured a win at EVERY >=256px operating point — +2% fast
+# copt measured a win at every 512px operating point tried — +2% fast
 # (slim all/no-remat, round 2), +0.9% faithful (f32/remat, round 5),
-# +3.7% trajectory-exact mv (round 5) — and a wash at 64px, never a
-# loss. Applied only when the user expressed no copt opinion (no
-# --xla_copts flag AND no DISCOGAN_XLA_COPTS in the environment;
-# setting either, even to "", suppresses the default).
+# +3.7% trajectory-exact mv (round 5) — and a wash at 64px (re-tested
+# on the phase body, 1.002), never a loss; the >=256px gate extends the
+# 512px wins to the sizes that share their memory regime (the 256px
+# CLI path is exercised on-chip, throughput unmeasured there). Applied
+# only when the user expressed no copt opinion (no --xla_copts flag AND
+# no DISCOGAN_XLA_COPTS in the environment; setting either, even to "",
+# suppresses the default).
 _DEFAULT_COPTS_256 = "xla_tpu_scoped_vmem_limit_kib=32768"
 
 
